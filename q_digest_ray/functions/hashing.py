@@ -1,0 +1,157 @@
+"""Vectorized deterministic 64-bit hashing over Arrow / numpy columns.
+
+Every sketch that needs hashing (HLL, Bloom, Count-Min, MinHash, SimHash,
+exact dedup, fingerprinting) shares this module so hashes are consistent
+across the engine and across processes (no PYTHONHASHSEED dependence).
+
+Strings/binary are hashed with a vectorized polynomial rolling hash computed
+directly on the Arrow value buffer (no per-row Python), then finalized with a
+splitmix64-style avalanche.  Integers are mixed with splitmix64.
+
+All arithmetic is modulo 2**64 via numpy uint64 wrap-around.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# odd multiplier for the polynomial hash (invertible mod 2**64)
+_POLY_R = np.uint64(0x9E3779B97F4A7C15)
+# modular inverse of _POLY_R mod 2**64
+_POLY_R_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain algorithm, Steele et al.)."""
+    z = x.astype(np.uint64, copy=True)
+    z += _SM_GAMMA
+    z ^= z >> np.uint64(30)
+    z *= _SM_C1
+    z ^= z >> np.uint64(27)
+    z *= _SM_C2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _hash_var_width(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Polynomial hash of variable-width byte slices, fully vectorized.
+
+    ``data`` is the concatenated byte buffer (uint8), ``offsets`` the int64
+    row boundaries (len = n_rows + 1).  For row r with bytes b_0..b_{m-1} the
+    raw hash is  sum_i b_i * R**(i)  (mod 2**64) computed relative to the row
+    start, plus the row length mixed in, then avalanched.
+
+    Trick: compute global weights R**g for global byte position g once via a
+    wrapping cumprod, take the weighted prefix-sum segment per row with
+    ``np.add.reduceat``, and rebase each row by multiplying with R**(-start)
+    (modular inverse powers) so the weights become position-in-row relative.
+    """
+    n_rows = len(offsets) - 1
+    total = int(offsets[-1] - offsets[0])
+    base = int(offsets[0])
+    if total == 0:
+        return splitmix64(np.zeros(n_rows, dtype=np.uint64))
+    d = data[base : base + total].astype(np.uint64)
+    # weights[g] = R**g (mod 2**64)
+    weights = np.empty(total, dtype=np.uint64)
+    weights[0] = np.uint64(1)
+    if total > 1:
+        np.multiply.accumulate(
+            np.full(total - 1, _POLY_R, dtype=np.uint64), out=weights[1:]
+        )
+    terms = (d + np.uint64(1)) * weights  # +1 so trailing zero bytes matter
+    starts = (offsets[:-1] - base).astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+    # reduceat needs strictly valid indices; empty rows handled below
+    idx = np.minimum(starts, total - 1)
+    sums = np.add.reduceat(terms, idx)
+    # rows whose start == next start are empty → sum contribution must be 0;
+    # also reduceat on duplicate indices returns terms[idx] for all but last.
+    empty = lengths == 0
+    sums[empty] = np.uint64(0)
+    # rebase: multiply by R**(-start)
+    inv_weights = np.empty(total, dtype=np.uint64)
+    inv_weights[0] = np.uint64(1)
+    if total > 1:
+        np.multiply.accumulate(
+            np.full(total - 1, _POLY_R_INV, dtype=np.uint64), out=inv_weights[1:]
+        )
+    sums *= inv_weights[idx]
+    sums[empty] = np.uint64(0)
+    return splitmix64(sums ^ (lengths * _SM_C1))
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (data uint8, offsets int64) from a string/binary Arrow array."""
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return data, offsets
+
+
+def hash64(values: "pa.Array | pa.ChunkedArray | np.ndarray", seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of a column. Returns np.uint64 array.
+
+    Supports Arrow string/large_string/binary/large_binary and any integer /
+    float / timestamp type (hashed by 64-bit bit pattern).  Nulls hash to a
+    fixed sentinel.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    seed64 = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    if isinstance(values, pa.Array):
+        t = values.type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            data, offsets = _string_buffers(values)
+            h = _hash_var_width(data, offsets)
+        else:
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                np_vals = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                np_vals = values.to_numpy(zero_copy_only=False)
+            h = splitmix64(np.ascontiguousarray(np_vals).view(np.uint64) if np_vals.dtype.itemsize == 8 else np_vals.astype(np.uint64))
+        if values.null_count:
+            mask = values.is_null().to_numpy(zero_copy_only=False)
+            h = h.copy()
+            h[mask] = np.uint64(0x6E756C6C6E756C6C)  # "nullnull"
+        if seed:
+            h = splitmix64(h ^ seed64)
+        return h
+    # plain numpy
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iufM":
+        a64 = arr.astype(np.int64, copy=False).view(np.uint64) if arr.dtype.itemsize == 8 and arr.dtype.kind != "u" else arr.astype(np.uint64)
+        h = splitmix64(a64)
+    elif arr.dtype.kind in "SU" or arr.dtype == object:
+        return hash64(pa.array(arr.astype(str)), seed=seed)
+    else:
+        raise TypeError(f"unhashable dtype {arr.dtype}")
+    if seed:
+        h = splitmix64(h ^ seed64)
+    return h
+
+
+def hash_columns(batch: pa.Table, columns: list[str], seed: int = 0) -> np.ndarray:
+    """Combined 64-bit hash over several columns (order-sensitive)."""
+    h = np.full(batch.num_rows, np.uint64(seed or 1), dtype=np.uint64)
+    for i, col in enumerate(columns):
+        hc = hash64(batch[col], seed=seed + i + 1)
+        h = splitmix64(h * _POLY_R + hc)
+    return h

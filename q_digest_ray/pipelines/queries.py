@@ -1,0 +1,644 @@
+"""Driver-facing query catalog (__ray_entry__.queries / oracle_sql).
+
+Two families:
+
+- **Exact queries** — each returns the same rows/columns as its ANSI-SQL
+  oracle (run by the driver in DuckDB at sf0.01).  All use the same physical
+  recipe: prune columns at the read, vectorized per-batch partial
+  aggregation inside ``map_batches`` (the combiner), then one small
+  ``groupby().aggregate`` shuffle over partials — never a row-level shuffle.
+  Floating aggregates are rounded identically on both sides so value-hash
+  comparison is stable.
+
+- **Sketch queries** (``sk_*``) — approximate results; registered without
+  SQL oracles (rows-only driver check); their accuracy bounds are asserted
+  in tests/ instead (SURVEY.md §7.3.10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from q_digest_ray.functions.hashing import hash64
+from q_digest_ray.sources.tables import read_table, read_table_arrow
+from q_digest_ray.stages.build import SketchSpec, build_sketches
+from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+
+# ---------------------------------------------------------------------------
+# exact queries
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (partial-agg + groupby)."""
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if batch.num_rows == 0:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "s_qty", "s_base", "s_disc", "s_charge", "s_discount", "cnt"]
+            )
+        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "s_qty": batch["l_quantity"].to_pandas(),
+                "s_base": batch["l_extendedprice"].to_pandas(),
+                "s_disc": disc_price.to_pandas(),
+                "s_charge": charge.to_pandas(),
+                "s_discount": batch["l_discount"].to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
+            s_qty=("s_qty", "sum"),
+            s_base=("s_base", "sum"),
+            s_disc=("s_disc", "sum"),
+            s_charge=("s_charge", "sum"),
+            s_discount=("s_discount", "sum"),
+            cnt=("s_qty", "size"),
+        )
+        return g
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="s_qty"),
+        Sum("s_base", alias_name="s_base"),
+        Sum("s_disc", alias_name="s_disc"),
+        Sum("s_charge", alias_name="s_charge"),
+        Sum("s_discount", alias_name="s_discount"),
+        Sum("cnt", alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["s_qty"].round(2),
+            "sum_base_price": df["s_base"].round(2),
+            "sum_disc_price": df["s_disc"].round(2),
+            "sum_charge": df["s_charge"].round(2),
+            "avg_qty": (df["s_qty"] / df["count_order"]).round(4),
+            "avg_price": (df["s_base"] / df["count_order"]).round(4),
+            "avg_disc": (df["s_discount"] / df["count_order"]).round(4),
+            "count_order": df["count_order"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity) / count(*), 4)                             AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4)                        AS avg_price,
+       round(sum(l_discount) / count(*), 4)                             AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def lang_counts(sf_dir: str):
+    """Exact heavy-hitter langs (the CMS oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch["lang"].value_counts()
+        return pa.table(
+            {
+                "lang": counts.field("values"),
+                "cnt": counts.field("counts").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+LANG_COUNTS_SQL = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"
+
+
+def distinct_text_count(sf_dir: str):
+    """Exact distinct count via 64-bit content hash (the HLL oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h = np.unique(hash64(batch["text"]))
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    n = ds.map_batches(to_hashes, batch_format="pyarrow").unique("h")
+    return pd.DataFrame({"n_distinct": [len(n)]})
+
+
+DISTINCT_TEXT_SQL = "SELECT count(DISTINCT text) AS n_distinct FROM documents"
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per distinct text (hash-partitioned)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["text"]).view(np.int64)
+        return pa.table({"h": pa.array(h), "doc_id": batch["doc_id"]})
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+    )
+    df = agg.to_pandas()[["doc_id", "dup_count"]]
+    df["dup_count"] = df["dup_count"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def exact_quantiles_nchars(sf_dir: str):
+    """Exact p50/p90/p99 of n_chars via distributed value-counts histogram
+    (domain-bounded: the shuffle moves one row per distinct value)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch["n_chars"].value_counts()
+        return pa.table(
+            {
+                "v": counts.field("values"),
+                "cnt": counts.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    csum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+    n = int(csum[-1])
+    out = {}
+    for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        # DuckDB quantile_disc: element at rank ceil(p*n) (1-based)
+        rank = int(np.ceil(p * n))
+        out[name] = [int(vals[np.searchsorted(csum, rank, side="left")])]
+    return pd.DataFrame(out)
+
+
+EXACT_QUANTILES_SQL = """
+SELECT quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (windowed aggregate)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "window_start": win.to_pandas(),
+                "value": batch["value"].to_pandas(),
+            }
+        )
+        return df.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
+            n_events=("value", "size"), s_value=("value", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("s_value", alias_name="s_value"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["s_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    # emit the window as a string so value comparison is unit-independent
+    df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
+    return (
+        df[["event_type", "window_start", "n_events", "sum_value"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+"""
+
+
+def top_users(sf_dir: str):
+    """Top-10 users by total event value (groupby → sort → limit)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_pandas(),
+                "value": batch["value"].to_pandas(),
+            }
+        )
+        return df.groupby("user_id", sort=False, as_index=False).agg(
+            s=("value", "sum"), c=("value", "size")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_events"))
+    )
+    top = agg.sort(["s", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": top["user_id"],
+            "total_value": top["s"].round(2),
+            "n_events": top["n_events"].astype("int64"),
+        }
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10
+"""
+
+
+def order_revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via broadcast lookup (no shuffle join):
+    the small dimension tables ride ray.put once; each batch does a
+    vectorized np.searchsorted lookup."""
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    custkeys = np.asarray(cust["c_custkey"])
+    order_c = np.argsort(custkeys)
+    lookup = {
+        "custkeys": custkeys[order_c],
+        "nationkey_by_cust": np.asarray(cust["c_nationkey"])[order_c],
+        "nation_names": nat["n_name"].to_pylist(),
+        "nation_keys": np.asarray(nat["n_nationkey"]),
+    }
+    ref = ray.put(lookup)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lk = ray.get(ref)
+            order_n = np.argsort(self.lk["nation_keys"])
+            self.nkeys = self.lk["nation_keys"][order_n]
+            self.nnames = np.array(self.lk["nation_names"], dtype=object)[order_n]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ck = batch["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.lk["custkeys"], ck)
+            nk = self.lk["nationkey_by_cust"][pos]
+            npos = np.searchsorted(self.nkeys, nk)
+            names = self.nnames[npos]
+            df = pd.DataFrame(
+                {"n_name": names, "price": batch["o_totalprice"].to_numpy()}
+            )
+            return df.groupby("n_name", sort=False, as_index=False).agg(
+                s=("price", "sum"), c=("price", "size")
+            )
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_orders"))
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_name": df["n_name"],
+            "total_revenue": df["s"].round(2),
+            "n_orders": df["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+ORDER_REVENUE_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def high_value_orders(sf_dir: str):
+    """Filter + projection (predicate applied vectorized per batch)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(batch["o_totalprice"], pa.scalar(400000.0)),
+            pc.equal(batch["o_orderstatus"], pa.scalar("F")),
+        )
+        t = batch.filter(m)
+        return t.select(["o_orderkey", "o_totalprice"])
+
+    df = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+HIGH_VALUE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 400000 AND o_orderstatus = 'F' ORDER BY o_orderkey
+"""
+
+
+def token_totals(sf_dir: str):
+    """Whitespace token counts per lang (vectorized regex count)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64())
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas(), "toks": toks.to_pandas()}
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            total_tokens=("toks", "sum"), n_docs=("toks", "size")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+    df = agg.to_pandas()
+    df["total_tokens"] = df["total_tokens"].astype("int64")
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+TOKEN_TOTALS_SQL = """
+SELECT lang,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k over the embedding column: the query vector
+    is broadcast once; each batch is one numpy matmul (the baseline ANN
+    path; LSH-bucketed variant in stages/ann.py)."""
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmask = pc.equal(emb["vec_id"], pa.scalar(0))
+    qvec = np.array(emb.filter(qmask)["embedding"].to_pylist()[0], dtype=np.float64)
+    qref = ray.put(qvec / np.linalg.norm(qvec))
+
+    class CosTopK:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch["embedding"].combine_chunks()
+            dim = len(self.q)
+            m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ self.q) / np.where(norms == 0, 1.0, norms)
+            t = pa.table(
+                {"vec_id": batch["vec_id"], "cos_sim": pa.array(cos)}
+            )
+            mask = pc.not_equal(t["vec_id"], pa.scalar(0))
+            t = t.filter(mask)
+            # per-batch top-k prune before the global sort
+            if t.num_rows > 10:
+                idx = pc.select_k_unstable(t, k=10, sort_keys=[("cos_sim", "descending")])
+                t = t.take(idx)
+            return t
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = (
+        ds.map_batches(CosTopK, batch_format="pyarrow", concurrency=(1, 4))
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top["cos_sim"] = top["cos_sim"].round(6)
+    return top[["vec_id", "cos_sim"]].reset_index(drop=True)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def punct_stats(sf_dir: str):
+    """Text-quality signal: sentence-punctuation density per lang."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        punct = pc.count_substring_regex(batch["text"], r"[.!?]").cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "punct": punct.to_pandas(),
+                "chars": batch["n_chars"].to_pandas(),
+            }
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            p=("punct", "sum"), c=("chars", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("p", alias_name="p"), Sum("c", alias_name="c"))
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "lang": df["lang"],
+            "punct_per_kchar": (1000.0 * df["p"] / df["c"]).round(4),
+        }
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+PUNCT_STATS_SQL = """
+SELECT lang,
+       round(1000.0 * sum(length(regexp_replace(text, '[^.!?]', '', 'g')))
+             / sum(n_chars), 4) AS punct_per_kchar
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch queries (approximate — rows-only driver check; bounds in pytest)
+# ---------------------------------------------------------------------------
+
+
+def _sketch_stats(sf_dir: str, table: str, columns: list[str], specs, ps=(0.5, 0.9, 0.99)):
+    ds = read_table(sf_dir, table, columns=columns)
+    rows = build_sketches(ds, specs)
+    sketches = collect_sketches(merge_grouped(rows))
+    out = []
+    for (metric, key), sk in sorted(sketches.items()):
+        kind = type(sk).kind
+        if kind in ("qdigest", "tdigest", "kll"):
+            for p in ps:
+                out.append((metric, key, f"p{int(p*100)}", float(sk.quantile(p))))
+        elif kind == "hll":
+            out.append((metric, key, "distinct_estimate", float(round(sk.estimate()))))
+        out.append((metric, key, "n", float(sk.n)))
+    return pd.DataFrame(out, columns=["metric", "group_key", "stat", "value"])
+
+
+def sk_qdigest_nchars(sf_dir: str):
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        ["n_chars"],
+        [SketchSpec("n_chars_qdigest", "n_chars", "qdigest", {"k": 256, "universe_bits": 16})],
+    )
+
+
+def sk_qdigest_nchars_by_lang(sf_dir: str):
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        ["n_chars", "lang"],
+        [SketchSpec("n_chars_by_lang", "n_chars", "qdigest", {"k": 256, "universe_bits": 16}, group_by="lang")],
+    )
+
+
+def sk_tdigest_event_values(sf_dir: str):
+    return _sketch_stats(
+        sf_dir,
+        "events",
+        ["value"],
+        [SketchSpec("value_tdigest", "value", "tdigest", {"delta": 200})],
+    )
+
+
+def sk_kll_nchars(sf_dir: str):
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        ["n_chars"],
+        [SketchSpec("n_chars_kll", "n_chars", "kll", {"k": 200})],
+    )
+
+
+def sk_hll_distinct_users(sf_dir: str):
+    return _sketch_stats(
+        sf_dir,
+        "events",
+        ["user_id"],
+        [SketchSpec("distinct_users_hll", "user_id", "hll", {"p": 12})],
+    )
+
+
+def sk_cms_event_types(sf_dir: str):
+    """CMS point estimates for each distinct event_type (candidate set from
+    an exact tiny groupby — the standard CMS + candidate-set pattern)."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    rows = build_sketches(
+        ds, [SketchSpec("event_type_cms", "event_type", "cms", {"depth": 5, "width": 2048})]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("event_type_cms", "")]
+    cands = sorted(read_table(sf_dir, "events", columns=["event_type"]).unique("event_type"))
+    est = sk.query(pa.array(cands))
+    return pd.DataFrame({"event_type": cands, "est_count": est.astype("int64")})
+
+
+def sk_bloom_membership(sf_dir: str):
+    """Bloom over doc_ids of source='src1'; probe all doc_ids."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def only_src(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["source"], pa.scalar("src1"))).select(["doc_id"])
+
+    rows = build_sketches(
+        ds.map_batches(only_src, batch_format="pyarrow"),
+        [SketchSpec("src1_bloom", "doc_id", "bloom", {"num_bits": 1 << 16, "num_hashes": 7})],
+    )
+    bloom = collect_sketches(merge_grouped(rows))[("src1_bloom", "")]
+    all_ids = read_table_arrow(sf_dir, "documents", columns=["doc_id"])["doc_id"]
+    hits = bloom.contains(all_ids.combine_chunks())
+    return pd.DataFrame(
+        {"n_probed": [len(hits)], "n_hits": [int(hits.sum())], "n_inserted": [bloom.n]}
+    )
+
+
+EXACT_QUERIES = {
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "lang_counts": (lang_counts, LANG_COUNTS_SQL),
+    "distinct_text_count": (distinct_text_count, DISTINCT_TEXT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "exact_quantiles_nchars": (exact_quantiles_nchars, EXACT_QUANTILES_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "top_users": (top_users, TOP_USERS_SQL),
+    "order_revenue_by_nation": (order_revenue_by_nation, ORDER_REVENUE_SQL),
+    "high_value_orders": (high_value_orders, HIGH_VALUE_SQL),
+    "token_totals": (token_totals, TOKEN_TOTALS_SQL),
+    "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "punct_stats": (punct_stats, PUNCT_STATS_SQL),
+}
+
+SKETCH_QUERIES = {
+    "sk_qdigest_nchars": sk_qdigest_nchars,
+    "sk_qdigest_nchars_by_lang": sk_qdigest_nchars_by_lang,
+    "sk_tdigest_event_values": sk_tdigest_event_values,
+    "sk_kll_nchars": sk_kll_nchars,
+    "sk_hll_distinct_users": sk_hll_distinct_users,
+    "sk_cms_event_types": sk_cms_event_types,
+    "sk_bloom_membership": sk_bloom_membership,
+}

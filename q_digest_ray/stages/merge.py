@@ -1,0 +1,95 @@
+"""Sketch-row merge stages (the UDAF *merge* leg).
+
+Two shapes, mirroring the reference's intended TreeAllreduce
+(/root/reference/mpi-implementation/src/treeReduce.c:31-90 — unfinished
+there; the authoritative semantics are serial merge(), src/qcore.c:390-417):
+
+1. ``combine_sketch_rows`` — a map_batches combiner that merges rows sharing
+   (metric, sketch, group_key) *within each block*.  Applied before any
+   shuffle it collapses num_blocks × groups rows down to ~groups per block,
+   so the wide step only moves tiny pre-merged payloads.
+2. ``merge_grouped`` — the one true shuffle: groupby the key triple and fold
+   each group's payloads.  Handles both grouped sketches and the global
+   (group_key="") fold in one uniform step.
+
+Payloads are O(k) bytes, so the shuffle is metadata-cheap by design; skewed
+group keys are irrelevant here because pre-combining bounds every group's
+row count at the number of blocks, not the number of input rows (salting
+is unnecessary for sketch rows — mergeability already collapsed the data).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from q_digest_ray.sketches.base import sketch_from_bytes
+
+
+def _merge_payload_group(kind: str, payloads) -> bytes:
+    it = iter(payloads)
+    acc = sketch_from_bytes(kind, next(it))
+    for p in it:
+        acc.merge(sketch_from_bytes(kind, p))
+    return acc.to_bytes()
+
+
+def combine_sketch_rows(batch: pa.Table) -> pa.Table:
+    """Partial (combiner) merge of sketch rows within one block."""
+    if batch.num_rows <= 1:
+        return batch
+    df = batch.to_pandas()
+    out = []
+    for (metric, kind, key), g in df.groupby(
+        ["metric", "sketch", "group_key"], sort=False
+    ):
+        out.append(
+            {
+                "metric": metric,
+                "sketch": kind,
+                "group_key": key,
+                "payload": _merge_payload_group(kind, g["payload"]),
+                "n": int(g["n"].sum()),
+            }
+        )
+    return pa.Table.from_pylist(out, schema=batch.schema)
+
+
+def _merge_group_df(g: pd.DataFrame) -> pd.DataFrame:
+    kind = g["sketch"].iloc[0]
+    payload = _merge_payload_group(kind, g["payload"])
+    return pd.DataFrame(
+        {
+            "metric": [g["metric"].iloc[0]],
+            "sketch": [kind],
+            "group_key": [g["group_key"].iloc[0]],
+            "payload": [payload],
+            "n": [int(g["n"].sum())],
+        }
+    )
+
+
+def merge_grouped(sketch_rows_ds, pre_combine: bool = True):
+    """Dataset of sketch rows → Dataset with one row per (metric, group).
+
+    The groupby is the pipeline's only all-to-all exchange; rows entering it
+    are already combined per block (tiny).
+    """
+    ds = sketch_rows_ds
+    if pre_combine:
+        ds = ds.map_batches(
+            combine_sketch_rows, batch_format="pyarrow", batch_size=4096
+        )
+    return ds.groupby(["metric", "sketch", "group_key"]).map_groups(
+        _merge_group_df, batch_format="pandas"
+    )
+
+
+def collect_sketches(merged_ds) -> dict[tuple[str, str], object]:
+    """Small final table → {(metric, group_key): sketch object} on the driver."""
+    out = {}
+    for row in merged_ds.take_all():
+        out[(row["metric"], row["group_key"])] = sketch_from_bytes(
+            row["sketch"], row["payload"]
+        )
+    return out

@@ -23,10 +23,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from q_digest_ray.functions.hashing import hash64
 from q_digest_ray.sources.tables import read_table, read_table_arrow
+from q_digest_ray.stages.agg import two_phase
 from q_digest_ray.stages.build import SketchSpec, build_sketches
 from q_digest_ray.stages.merge import collect_sketches, merge_grouped
 
@@ -82,31 +83,25 @@ def pricing_summary(sf_dir: str):
             "l_shipdate",
         ],
     )
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("s_qty", alias_name="s_qty"),
-        Sum("s_base", alias_name="s_base"),
-        Sum("s_disc", alias_name="s_disc"),
-        Sum("s_charge", alias_name="s_charge"),
-        Sum("s_discount", alias_name="s_discount"),
-        Sum("cnt", alias_name="count_order"),
-    )
-    df = agg.to_pandas()
-    out = pd.DataFrame(
-        {
-            "l_returnflag": df["l_returnflag"],
-            "l_linestatus": df["l_linestatus"],
-            "sum_qty": df["s_qty"].round(2),
-            "sum_base_price": df["s_base"].round(2),
-            "sum_disc_price": df["s_disc"].round(2),
-            "sum_charge": df["s_charge"].round(2),
-            "avg_qty": (df["s_qty"] / df["count_order"]).round(4),
-            "avg_price": (df["s_base"] / df["count_order"]).round(4),
-            "avg_disc": (df["s_discount"] / df["count_order"]).round(4),
-            "count_order": df["count_order"].astype("int64"),
-        }
-    )
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["s_qty"].round(2),
+                "sum_base_price": g["s_base"].round(2),
+                "sum_disc_price": g["s_disc"].round(2),
+                "sum_charge": g["s_charge"].round(2),
+                "avg_qty": (g["s_qty"] / g["cnt"]).round(4),
+                "avg_price": (g["s_base"] / g["cnt"]).round(4),
+                "avg_disc": (g["s_discount"] / g["cnt"]).round(4),
+                "count_order": g["cnt"].astype("int64"),
+            }
+        )
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 PRICING_SUMMARY_SQL = """
@@ -139,12 +134,12 @@ def lang_counts(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(cnt=("cnt", "sum"))
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
 
 
 LANG_COUNTS_SQL = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"
@@ -203,13 +198,10 @@ def exact_quantiles_nchars(sf_dir: str):
             }
         )
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("v")
-    )
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+
+    hist = two_phase(ds, partial, final).to_pandas().sort_values("v")
     csum = hist["cnt"].cumsum().to_numpy()
     vals = hist["v"].to_numpy()
     n = int(csum[-1])
@@ -246,12 +238,12 @@ def events_hourly(sf_dir: str):
             n_events=("value", "size"), s_value=("value", "sum")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("s_value", alias_name="s_value"))
-    )
-    df = agg.to_pandas()
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), s_value=("s_value", "sum")
+        )
+
+    df = two_phase(ds, partial, final).to_pandas()
     df["sum_value"] = df["s_value"].round(2)
     df["n_events"] = df["n_events"].astype("int64")
     # emit the window as a string so value comparison is unit-independent
@@ -285,19 +277,18 @@ def top_users(sf_dir: str):
             s=("value", "sum"), c=("value", "size")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_events"))
-    )
-    top = agg.sort(["s", "user_id"], descending=[True, False]).limit(10).to_pandas()
-    return pd.DataFrame(
-        {
-            "user_id": top["user_id"],
-            "total_value": top["s"].round(2),
-            "n_events": top["n_events"].astype("int64"),
-        }
-    )
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+        g = g.sort_values(["s", "user_id"], ascending=[False, True]).head(10)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "total_value": g["s"].round(2),
+                "n_events": g["c"].astype("int64"),
+            }
+        )
+
+    return two_phase(ds, partial, final).to_pandas().reset_index(drop=True)
 
 
 TOP_USERS_SQL = """
@@ -343,18 +334,22 @@ def order_revenue_by_nation(sf_dir: str):
             )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (
-        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="n_orders"))
-    )
-    df = agg.to_pandas()
-    out = pd.DataFrame(
-        {
-            "n_name": df["n_name"],
-            "total_revenue": df["s"].round(2),
-            "n_orders": df["n_orders"].astype("int64"),
-        }
+    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+        return pd.DataFrame(
+            {
+                "n_name": g["n_name"],
+                "total_revenue": g["s"].round(2),
+                "n_orders": g["c"].astype("int64"),
+            }
+        )
+
+    out = (
+        partials.repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .to_pandas()
     )
     return out.sort_values("n_name").reset_index(drop=True)
 
@@ -405,15 +400,12 @@ def token_totals(sf_dir: str):
             total_tokens=("toks", "sum"), n_docs=("toks", "size")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Sum("total_tokens", alias_name="total_tokens"),
-            Sum("n_docs", alias_name="n_docs"),
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            total_tokens=("total_tokens", "sum"), n_docs=("n_docs", "sum")
         )
-    )
-    df = agg.to_pandas()
+
+    df = two_phase(ds, partial, final).to_pandas()
     df["total_tokens"] = df["total_tokens"].astype("int64")
     df["n_docs"] = df["n_docs"].astype("int64")
     return df.sort_values("lang").reset_index(drop=True)
@@ -497,19 +489,17 @@ def punct_stats(sf_dir: str):
             p=("punct", "sum"), c=("chars", "sum")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("p", alias_name="p"), Sum("c", alias_name="c"))
-    )
-    df = agg.to_pandas()
-    out = pd.DataFrame(
-        {
-            "lang": df["lang"],
-            "punct_per_kchar": (1000.0 * df["p"] / df["c"]).round(4),
-        }
-    )
-    return out.sort_values("lang").reset_index(drop=True)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(p=("p", "sum"), c=("c", "sum"))
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "punct_per_kchar": (1000.0 * g["p"] / g["c"]).round(4),
+            }
+        )
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("lang").reset_index(drop=True)
 
 
 PUNCT_STATS_SQL = """

@@ -153,4 +153,11 @@ def read_cc_pages(dir_path: str, columns: list[str] | None = None):
         for f in os.listdir(dir_path)
         if f.endswith(".parquet")
     )
-    return ray.data.read_parquet(paths, columns=columns)
+    # one block per shard: Ray's dynamic SplitBlocks re-serializes the heavy
+    # binary column repeatedly (measured 7-10x slower on this table); shards
+    # are already sized for parallelism (~16-30 MB each).  At production
+    # scale shards would be 128-256 MB and the same 1-block-per-file rule
+    # holds.
+    return ray.data.read_parquet(
+        paths, columns=columns, override_num_blocks=len(paths)
+    )

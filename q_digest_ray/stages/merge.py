@@ -69,19 +69,47 @@ def _merge_group_df(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def merge_grouped(sketch_rows_ds, pre_combine: bool = True):
+def _combine_df(df: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for (metric, kind, key), g in df.groupby(["metric", "sketch", "group_key"], sort=False):
+        out.append(
+            {
+                "metric": metric,
+                "sketch": kind,
+                "group_key": key,
+                "payload": _merge_payload_group(kind, g["payload"]),
+                "n": int(g["n"].sum()),
+            }
+        )
+    return pd.DataFrame(out, columns=["metric", "sketch", "group_key", "payload", "n"])
+
+
+def merge_grouped(sketch_rows_ds, shuffle: bool = False, fold_rounds: int = 0):
     """Dataset of sketch rows → Dataset with one row per (metric, group).
 
-    The groupby is the pipeline's only all-to-all exchange; rows entering it
-    are already combined per block (tiny).
+    Default (tree-fold) path: combine rows per block, then coalesce and run
+    one final combine task — the log-depth fold the reference's
+    TreeAllreduce intended, expressed as data movement.  Valid because the
+    combiner bounds the final input at num_blocks x groups tiny rows; add
+    ``fold_rounds`` when block counts reach the hundreds of thousands.
+
+    ``shuffle=True`` switches to a hash groupby on the key triple — the
+    right shape only when group cardinality itself is huge (e.g. per-host
+    sketches over millions of hosts).
     """
-    ds = sketch_rows_ds
-    if pre_combine:
-        ds = ds.map_batches(
-            combine_sketch_rows, batch_format="pyarrow", batch_size=4096
+    ds = sketch_rows_ds.map_batches(
+        combine_sketch_rows, batch_format="pyarrow", batch_size=4096
+    )
+    if shuffle:
+        return ds.groupby(["metric", "sketch", "group_key"]).map_groups(
+            _merge_group_df, batch_format="pandas"
         )
-    return ds.groupby(["metric", "sketch", "group_key"]).map_groups(
-        _merge_group_df, batch_format="pandas"
+    for _ in range(fold_rounds):
+        ds = ds.repartition(8).map_batches(
+            _combine_df, batch_format="pandas", batch_size=None
+        )
+    return ds.repartition(1).map_batches(
+        _combine_df, batch_format="pandas", batch_size=None
     )
 
 

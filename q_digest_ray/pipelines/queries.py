@@ -510,6 +510,163 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def bpe_token_totals(sf_dir: str):
+    """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.text import bpe_ish_token_count
+
+        toks = bpe_ish_token_count(batch["text"])
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "toks": toks})
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            bpe_tokens=("toks", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(bpe_tokens=("bpe_tokens", "sum"))
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["bpe_tokens"] = df["bpe_tokens"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+BPE_TOKEN_SQL = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def quality_filter(sf_dir: str):
+    """Quality-gate filter: docs passing length + token thresholds, per lang."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.text import token_count
+
+        toks = token_count(batch["text"])
+        chars = batch["n_chars"].to_numpy()
+        ok = (chars >= 100) & (chars <= 520) & (toks >= 20)
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "ok": ok})
+        return df.groupby("lang", sort=False, as_index=False).agg(n_pass=("ok", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(n_pass=("n_pass", "sum"))
+        return g[g["n_pass"] > 0]
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["n_pass"] = df["n_pass"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+QUALITY_FILTER_SQL = r"""
+SELECT lang, count(*) AS n_pass FROM documents
+WHERE n_chars BETWEEN 100 AND 520
+  AND (CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END) >= 20
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN / text-analysis queries (rows-only: non-SQL-expressible or
+# approximate; correctness asserted in tests/ on controlled corpora)
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup(sf_dir: str):
+    from q_digest_ray.stages.dedup import minhash_dup_groups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dup_groups(ds, "doc_id", "text", threshold=0.8)
+
+
+def simhash_pairs(sf_dir: str):
+    from q_digest_ray.stages.dedup import simhash_dup_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dup_pairs(ds, "doc_id", "text", max_hamming=3)
+
+
+def embedding_near_dups(sf_dir: str):
+    from q_digest_ray.stages.dedup import embedding_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, "vec_id", "embedding", threshold=0.95)
+
+
+def ann_lsh_topk(sf_dir: str):
+    from q_digest_ray.stages.ann import lsh_topk
+
+    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qvec = np.array(
+        emb.filter(pc.equal(emb["vec_id"], pa.scalar(0)))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["vec_id"], pa.scalar(0)))
+
+    return lsh_topk(
+        ds.map_batches(drop_query, batch_format="pyarrow"),
+        "vec_id",
+        "embedding",
+        qvec,
+        k=10,
+        num_planes=8,
+        probe_hamming=3,
+    )
+
+
+def langid_counts(sf_dir: str):
+    """Predicted language distribution (heuristic language-ID stage)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.text import detect_language
+
+        langs = detect_language(batch["text"])
+        return pd.DataFrame({"pred_lang": langs}).groupby(
+            "pred_lang", sort=False, as_index=False
+        ).size().rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pred_lang", as_index=False).agg(cnt=("cnt", "sum"))
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values("pred_lang").reset_index(drop=True)
+
+
+def fingerprint_stats(sf_dir: str):
+    """Winnowing fingerprint density per lang (doc-fingerprinting stage)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.text import winnow_fingerprints
+
+        fps = winnow_fingerprints(batch["text"])
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas(), "n_fp": [len(f) for f in fps]}
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            total_fp=("n_fp", "sum"), n_docs=("n_fp", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            total_fp=("total_fp", "sum"), n_docs=("n_docs", "sum")
+        )
+        g["avg_fp_per_doc"] = (g["total_fp"] / g["n_docs"]).round(4)
+        return g[["lang", "total_fp", "avg_fp_per_doc"]]
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["total_fp"] = df["total_fp"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # sketch queries (approximate — rows-only driver check; bounds in pytest)
 # ---------------------------------------------------------------------------
@@ -621,9 +778,17 @@ EXACT_QUERIES = {
     "token_totals": (token_totals, TOKEN_TOTALS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "punct_stats": (punct_stats, PUNCT_STATS_SQL),
+    "bpe_token_totals": (bpe_token_totals, BPE_TOKEN_SQL),
+    "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
 }
 
 SKETCH_QUERIES = {
+    "minhash_dedup": minhash_dedup,
+    "simhash_pairs": simhash_pairs,
+    "embedding_near_dups": embedding_near_dups,
+    "ann_lsh_topk": ann_lsh_topk,
+    "langid_counts": langid_counts,
+    "fingerprint_stats": fingerprint_stats,
     "sk_qdigest_nchars": sk_qdigest_nchars,
     "sk_qdigest_nchars_by_lang": sk_qdigest_nchars_by_lang,
     "sk_tdigest_event_values": sk_tdigest_event_values,

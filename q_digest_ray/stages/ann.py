@@ -1,0 +1,131 @@
+"""Approximate nearest neighbor over an embedding column (list<float>).
+
+- brute-force cosine top-k: baseline — broadcast the (normalized) query
+  matrix once via ray.put, one numpy matmul per batch, per-batch top-k
+  prune, global sort+limit (pipelines/queries.ann_topk uses this shape).
+- LSH-bucketed (random hyperplane): the scale path — each vector lands in
+  a 2**planes bucket; a query probes only buckets within ``probe_hamming``
+  signature distance, cutting the scanned fraction to ~sum_{d<=p} C(planes,d)
+  / 2**planes while keeping high recall (tested vs brute force).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else np.zeros((0, 0))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1.0, norms)
+
+
+def brute_force_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k (the oracle for the LSH variant)."""
+    q = query.astype(np.float64)
+    q = q / np.linalg.norm(q)
+    qref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch[vec_col]))
+            cos = m @ self.q
+            t = pa.table({id_col: batch[id_col], "cos_sim": pa.array(cos)})
+            if t.num_rows > k:
+                import pyarrow.compute as pc
+
+                idx = pc.select_k_unstable(t, k=k, sort_keys=[("cos_sim", "descending")])
+                t = t.take(idx)
+            return t
+
+    out = (
+        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+        .sort(["cos_sim", id_col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out.reset_index(drop=True)
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes) > 0
+    return (signs.astype(np.uint64) << np.arange(planes.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+def lsh_topk(
+    ds,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 2,
+    seed: int = 17,
+) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k: score only vectors whose signature is
+    within ``probe_hamming`` bits of the query's (multi-probe).  Hyperplanes
+    are broadcast once; bucket filtering happens inside each batch so no
+    shuffle is added."""
+    dim = len(query)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, num_planes))
+    q = query.astype(np.float64)
+    q = q / np.linalg.norm(q)
+    qsig = int(_signatures(q[None, :], planes)[0])
+    # popcount table for signature distance
+    pop = np.array([bin(i).count("1") for i in range(1 << num_planes)], dtype=np.int64)
+    ref = ray.put((q, planes, qsig, pop))
+
+    class Scorer:
+        def __init__(self):
+            self.q, self.planes, self.qsig, self.pop = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch[vec_col]))
+            sig = _signatures(m, self.planes)
+            dist = self.pop[(sig ^ np.uint64(self.qsig)).astype(np.int64)]
+            keep = dist <= probe_hamming
+            scanned = int(keep.sum())
+            if scanned == 0:
+                return pa.table(
+                    {id_col: pa.array([], batch[id_col].type), "cos_sim": pa.array([], pa.float64()),
+                     "scanned": pa.array([], pa.int64())}
+                )
+            cos = m[keep] @ self.q
+            ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+            order = np.argsort(-cos)[:k]
+            return pa.table(
+                {
+                    id_col: pa.array(ids[order]),
+                    "cos_sim": pa.array(cos[order]),
+                    "scanned": pa.array(np.full(len(order), scanned, dtype=np.int64)),
+                }
+            )
+
+    df = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
+    scanned = int(df["scanned"].sum()) if len(df) else 0
+    out = (
+        df.sort_values(["cos_sim", id_col], ascending=[False, True])
+        .head(k)[[id_col, "cos_sim"]]
+        .reset_index(drop=True)
+    )
+    out["cos_sim"] = out["cos_sim"].round(6)
+    out.attrs["scanned"] = scanned
+    return out

@@ -54,13 +54,21 @@ SKETCH_ROW_SCHEMA = pa.schema(
 
 @dataclass(frozen=True)
 class SketchSpec:
-    """One sketch to maintain over one column, optionally grouped."""
+    """One sketch to maintain over one column, optionally grouped.
+
+    ``salt`` > 0 splits each group into ``salt`` sub-groups keyed by a row
+    hash ("en#3") — the skew-handling path for hot keys (north rule): the
+    salted partials merge in parallel, and because sketch merge is
+    exact-associative a later de-salt merge (stages/merge.desalt) restores
+    per-key results exactly.
+    """
 
     metric: str  # output name, unique per spec
     column: str  # input column
     kind: str  # one of _KINDS
     params: dict = field(default_factory=dict)
     group_by: str | None = None  # group column (small cardinality) or None
+    salt: int = 0
 
     def make(self):
         return _KINDS[self.kind](**self.params)
@@ -99,6 +107,13 @@ class SketchBuilder:
                 gcol = batch[spec.group_by]
                 if isinstance(gcol, pa.ChunkedArray):
                     gcol = gcol.combine_chunks()
+                if spec.salt > 0:
+                    from q_digest_ray.functions.hashing import hash64
+
+                    salts = (hash64(gcol, seed=97) ^ np.arange(len(gcol), dtype=np.uint64)) % np.uint64(spec.salt)
+                    gcol = pc.binary_join_element_wise(
+                        gcol, pc.cast(pa.array(salts.astype(np.int64)), pa.string()), "#"
+                    )
                 enc = gcol.dictionary_encode()
                 codes = enc.indices.to_numpy(zero_copy_only=False)
                 labels = enc.dictionary.to_pylist()
@@ -149,3 +164,62 @@ def build_sketches(
 
 def rehydrate(row_kind: str, payload: bytes):
     return sketch_from_bytes(row_kind, payload)
+
+
+def build_sketches_stateful(ds, specs: list[SketchSpec], num_actors: int = 4):
+    """Stateful accumulate-across-batches build (SURVEY.md §7.3.7).
+
+    Each raw Ray actor consumes one ``streaming_split`` iterator and keeps
+    ONE sketch per (spec, group) for its whole split — emitting num_actors
+    partials total instead of one per block.  This is the one place the
+    Dataset API genuinely can't express the semantics (an end-of-stream
+    flush from map_batches actors has no hook), so we drop to ray.remote.
+
+    Returns the merged {(metric, group_key): sketch} dict.
+    """
+    import ray
+
+    from q_digest_ray.sketches.base import sketch_from_bytes as _from_bytes
+
+    builder_specs = list(specs)
+
+    @ray.remote
+    class Accumulator:
+        def __init__(self):
+            self.builder = SketchBuilder(builder_specs)
+            self.state: dict[tuple[str, str, str], object] = {}
+
+        def consume(self, it) -> int:
+            n = 0
+            for batch in it.iter_batches(batch_format="pyarrow", batch_size=8192):
+                rows = self.builder(batch)
+                for row in rows.to_pylist():
+                    key = (row["metric"], row["sketch"], row["group_key"])
+                    sk = _from_bytes(row["sketch"], row["payload"])
+                    if key in self.state:
+                        self.state[key].merge(sk)
+                    else:
+                        self.state[key] = sk
+                n += batch.num_rows
+            return n
+
+        def partials(self) -> list[tuple]:
+            return [
+                (m, kind, g, sk.to_bytes()) for (m, kind, g), sk in self.state.items()
+            ]
+
+    splits = ds.streaming_split(num_actors, equal=False)
+    actors = [Accumulator.remote() for _ in range(num_actors)]
+    ray.get([a.consume.remote(s) for a, s in zip(actors, splits)])
+    merged: dict[tuple[str, str], object] = {}
+    for part in ray.get([a.partials.remote() for a in actors]):
+        for metric, kind, group, payload in part:
+            sk = sketch_from_bytes(kind, payload)
+            key = (metric, group)
+            if key in merged:
+                merged[key].merge(sk)
+            else:
+                merged[key] = sk
+    for a in actors:
+        ray.kill(a)
+    return merged

@@ -1,0 +1,327 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: content-hash groupby (pipelines/queries.dedup_exact)
+- MinHash + LSH: shingle → minhash signature → banded buckets → candidate
+  pairs → exact-Jaccard verification → duplicate groups
+- SimHash: 64-bit sign-sum signature; near-dup = small Hamming distance,
+  candidate generation via pigeonhole chunk buckets
+- n-gram Jaccard: the exact verifier (shared by MinHash verification)
+- embedding cosine near-dup: all-pairs within LSH (random hyperplane)
+  buckets
+
+Everything per-batch is numpy-vectorized; the only wide operation is the
+bucket groupby, whose input is one tiny row per (doc, band) — at the
+sf-gate scales the bucket table is folded with two_phase; at 10^12-doc
+scale swap the final combine for ``groupby(["band","band_hash"])`` (noted
+inline).  Shingling/hashing reuse functions/hashing.py so candidates are
+consistent across stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from q_digest_ray.functions.hashing import hash64, splitmix64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(texts: pa.Array | pa.ChunkedArray):
+    """(flat token hashes, doc offsets) — vectorized tokenize + hash."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = toks.flatten()
+    h = hash64(flat)
+    if isinstance(toks, pa.ChunkedArray):  # pragma: no cover
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    return h, offsets
+
+
+def shingle_hashes(texts, w: int = 3):
+    """w-token shingle hashes per doc → (flat shingle hashes, doc offsets).
+
+    Docs with fewer than w tokens contribute their single whole-doc hash so
+    short docs still participate.
+    """
+    h, off = _token_hashes(texts)
+    n_docs = len(off) - 1
+    tok_counts = off[1:] - off[:-1]
+    sh_counts = np.maximum(tok_counts - (w - 1), np.minimum(tok_counts, 1))
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=out_off[1:])
+    total = int(out_off[-1])
+    sh = np.zeros(total, dtype=np.uint64)
+    # rolling combine of w consecutive token hashes, windows not crossing docs
+    # build index of window starts: for each doc, tokens [off[d], off[d]+sh_count)
+    doc_of_window = np.repeat(np.arange(n_docs), sh_counts)
+    win_rank = np.arange(total, dtype=np.int64) - out_off[:-1][doc_of_window]
+    starts = off[:-1][doc_of_window] + win_rank
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(w):
+        idx = np.minimum(starts + j, off[1:][doc_of_window] - 1)
+        acc = splitmix64(acc * np.uint64(0x100000001B3) + h[idx])
+    sh = acc
+    return sh, out_off
+
+
+def minhash_signatures(texts, num_perm: int = 128, w: int = 3, seed: int = 1):
+    """(n_docs, num_perm) uint64 MinHash signature matrix."""
+    sh, off = shingle_hashes(texts, w=w)
+    n_docs = len(off) - 1
+    rng = np.random.default_rng(seed)
+    perm_seeds = rng.integers(1, np.iinfo(np.int64).max, num_perm).astype(np.uint64)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    # per-permutation hash family: splitmix64(shingle ^ seed_j) — uniform,
+    # overflow-free (mod-prime affine maps overflow uint64 multiplication)
+    empty = off[1:] == off[:-1]
+    idx = np.minimum(off[:-1], len(sh) - 1)
+    for j in range(num_perm):
+        pv = splitmix64(sh ^ perm_seeds[j])
+        mins = np.minimum.reduceat(pv, idx)
+        mins[empty] = np.iinfo(np.uint64).max
+        sig[:, j] = mins
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) uint64 — hash of each band's rows (LSH bucket keys)."""
+    n_docs, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.zeros((n_docs, bands), dtype=np.uint64)
+    for bidx in range(bands):
+        chunk = sig[:, bidx * r : (bidx + 1) * r]
+        acc = np.full(n_docs, np.uint64(bidx + 1), dtype=np.uint64)
+        for k in range(r):
+            acc = splitmix64(acc * np.uint64(0x100000001B3) + chunk[:, k])
+        out[:, bidx] = acc
+    return out
+
+
+def jaccard_pairs(texts_a, texts_b, w: int = 3) -> np.ndarray:
+    """Exact w-shingle Jaccard for aligned pairs (the verifier)."""
+    out = np.zeros(len(texts_a), dtype=np.float64)
+    sh_a, off_a = shingle_hashes(pa.array(list(texts_a)), w=w)
+    sh_b, off_b = shingle_hashes(pa.array(list(texts_b)), w=w)
+    for i in range(len(out)):
+        sa = set(sh_a[off_a[i] : off_a[i + 1]].tolist())
+        sb = set(sh_b[off_b[i] : off_b[i + 1]].tolist())
+        if not sa and not sb:
+            out[i] = 1.0
+        else:
+            out[i] = len(sa & sb) / max(1, len(sa | sb))
+    return out
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash per doc: sign of per-bit weighted sums of token hashes."""
+    h, off = _token_hashes(texts)
+    n_docs = len(off) - 1
+    if len(h) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    idx = np.minimum(off[:-1], len(h) - 1)
+    empty = off[1:] == off[:-1]
+    tok_counts = (off[1:] - off[:-1]).astype(np.int64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    # one bit at a time keeps peak memory at O(n_tokens), not O(64 x tokens)
+    for bit in range(64):
+        ones = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        ones_per_doc = np.add.reduceat(ones, idx)
+        ones_per_doc[empty] = 0
+        # sum of (+-1) > 0  <=>  ones > tokens/2
+        sig_bit = (2 * ones_per_doc) > tok_counts
+        out |= sig_bit.astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    # vectorized popcount via uint8 view + lookup
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# distributed pipelines
+# ---------------------------------------------------------------------------
+
+
+def _union_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over the (small) verified-duplicate pair set → {id: root}."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_dup_groups(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    w: int = 3,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """MinHash-LSH near-duplicate groups over a Dataset of documents.
+
+    Returns (doc_id, group_id, jaccard_to_root) for every doc in a verified
+    duplicate group, sorted by (group_id, doc_id).  Shape: per-batch
+    signatures → (band, band_hash, doc) bucket rows → bucket grouping →
+    candidate pairs → exact-Jaccard verify → union-find.  The bucket
+    grouping here folds via repartition (bucket rows are tiny); at 10^12
+    docs make it ``rows.groupby(["band", "band_hash"])`` and verify
+    per-bucket in map_groups.
+    """
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text_col], num_perm=num_perm, w=w)
+        bh = band_hashes(sig, bands=bands)
+        n = len(sig)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.tile(ids, bands)),
+            }
+        )
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow").to_pandas()
+    sizes = buckets.groupby(["band", "band_hash"])["doc_id"].nunique()
+    hot = sizes[sizes > 1].index
+    cand_pairs: set[tuple[int, int]] = set()
+    hb = buckets.set_index(["band", "band_hash"]).sort_index()
+    for key in hot:
+        members = sorted(set(hb.loc[key, "doc_id"].tolist() if hasattr(hb.loc[key, "doc_id"], "tolist") else [hb.loc[key, "doc_id"]]))
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand_pairs.add((members[i], members[j]))
+    if not cand_pairs:
+        return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
+    # fetch candidate texts (small set) and verify exactly
+    cand_ids = sorted({x for p in cand_pairs for x in p})
+    id_set = set(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([i in id_set for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts_df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    text_by_id = dict(zip(texts_df[id_col], texts_df[text_col]))
+    pairs = sorted(cand_pairs)
+    jac = jaccard_pairs(
+        [text_by_id[a] for a, _ in pairs], [text_by_id[b] for _, b in pairs], w=w
+    )
+    verified = [(a, b) for (a, b), s in zip(pairs, jac) if s >= threshold]
+    roots = _union_groups(verified)
+    if not roots:
+        return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
+    rows = []
+    for doc, root in sorted(roots.items()):
+        j = 1.0 if doc == root else float(
+            jaccard_pairs([text_by_id[doc]], [text_by_id[root]], w=w)[0]
+        )
+        rows.append({"doc_id": doc, "group_id": root, "jaccard_to_root": round(j, 4)})
+    return pd.DataFrame(rows).sort_values(["group_id", "doc_id"]).reset_index(drop=True)
+
+
+def simhash_dup_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs: pigeonhole on four 16-bit chunks → candidate
+    pairs → exact Hamming verify (<= max_hamming with max_hamming <= 3, any
+    true pair shares at least one identical chunk)."""
+
+    def to_sig(batch: pa.Table) -> pa.Table:
+        sig = simhash64(batch[text_col])
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "sig": pa.array(sig.view(np.int64)),
+            }
+        )
+
+    sigs = ds.map_batches(to_sig, batch_format="pyarrow").to_pandas()
+    sig_by_id = dict(zip(sigs["doc_id"], sigs["sig"].astype(np.int64).to_numpy().view(np.uint64)))
+    cand: set[tuple[int, int]] = set()
+    s = sigs["sig"].to_numpy().view(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    for chunk in range(4):
+        keys = (s >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
+        df = pd.DataFrame({"k": keys, "id": ids})
+        for _, g in df.groupby("k"):
+            if len(g) > 1:
+                mem = sorted(g["id"].tolist())
+                for i in range(len(mem)):
+                    for j in range(i + 1, len(mem)):
+                        cand.add((mem[i], mem[j]))
+    rows = []
+    if cand:
+        pairs = sorted(cand)
+        a = np.array([sig_by_id[x] for x, _ in pairs], dtype=np.uint64)
+        b = np.array([sig_by_id[y] for _, y in pairs], dtype=np.uint64)
+        d = hamming64(a, b)
+        for (x, y), dist in zip(pairs, d):
+            if dist <= max_hamming:
+                rows.append({"doc_id_a": x, "doc_id_b": y, "hamming": int(dist)})
+    return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"]).sort_values(
+        ["doc_id_a", "doc_id_b"]
+    ).reset_index(drop=True)
+
+
+def embedding_dup_pairs(
+    ds, id_col: str, vec_col: str, threshold: float = 0.95, planes: int = 12, seed: int = 5
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets:
+    vectors in the same bucket are verified with an exact cosine (all-pairs
+    within bucket).  Bucket count 2**planes bounds the verify fan-in."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col].combine_chunks() if isinstance(batch[vec_col], pa.ChunkedArray) else batch[vec_col]
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        dim = len(flat) // max(n, 1) if n else 0
+        m = flat.reshape(n, dim) if n else np.zeros((0, 0))
+        rng = np.random.default_rng(seed)
+        h = rng.normal(size=(dim, planes)) if n else None
+        signs = (m @ h > 0).astype(np.uint32) if n else np.zeros((0, planes), np.uint32)
+        bucket = (signs << np.arange(planes, dtype=np.uint32)[None, :]).sum(axis=1)
+        norms = np.linalg.norm(m, axis=1) if n else np.zeros(0)
+        return pa.table(
+            {
+                "id": batch[id_col],
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "vec": pa.array(list(m / np.where(norms == 0, 1, norms)[:, None])),
+            }
+        )
+
+    df = ds.map_batches(to_rows, batch_format="pyarrow").to_pandas()
+    rows = []
+    for _, g in df.groupby("bucket"):
+        if len(g) < 2:
+            continue
+        m = np.stack(g["vec"].to_numpy())
+        ids = g["id"].to_numpy()
+        cos = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        for i, j in zip(*iu):
+            if cos[i, j] >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                rows.append({"id_a": a, "id_b": b, "cos_sim": round(float(cos[i, j]), 4)})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

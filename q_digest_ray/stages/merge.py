@@ -113,6 +113,29 @@ def merge_grouped(sketch_rows_ds, shuffle: bool = False, fold_rounds: int = 0):
     )
 
 
+def desalt(merged_ds):
+    """Second-level merge for salted group keys ("en#3" → "en").
+
+    Exact because sketch merge is associative: merging the per-salt partial
+    sketches yields the identical result to an unsalted single-level merge
+    (property-tested in tests/test_skew.py).  The input is one row per
+    (metric, salted key) — tiny — so one combine task suffices.
+    """
+
+    def strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.replace_substring_regex(batch["group_key"], r"#\d+$", "")
+        return batch.set_column(
+            batch.schema.get_field_index("group_key"), "group_key", key
+        )
+
+    stripped = merged_ds.map_batches(strip, batch_format="pyarrow")
+    return stripped.repartition(1).map_batches(
+        _combine_df, batch_format="pandas", batch_size=None
+    )
+
+
 def collect_sketches(merged_ds) -> dict[tuple[str, str], object]:
     """Small final table → {(metric, group_key): sketch object} on the driver."""
     out = {}

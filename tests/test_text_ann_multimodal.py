@@ -1,0 +1,120 @@
+"""Text analysis, ANN (brute vs LSH recall), and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from q_digest_ray.functions.text import (
+    bpe_ish_token_count,
+    detect_language,
+    quality_features,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)
+
+
+def test_token_counts():
+    arr = pa.array(["one two three", "", "  spaced   out  ", "solo"])
+    assert token_count(arr).tolist() == [3, 0, 2, 1]
+    assert bpe_ish_token_count(pa.array(["hello, world 42"])).tolist()[0] >= 5
+
+
+def test_detect_language():
+    texts = pa.array(
+        [
+            "the cat sat on the mat and it was happy",
+            "der Hund ist nicht mit der Katze",
+            "le chat est dans la maison pour une nuit",
+            "el perro es una mascota para la familia",
+            "xyzzy qwerty plugh",
+        ]
+    )
+    langs = detect_language(texts)
+    assert langs[:4] == ["en", "de", "fr", "es"]
+    assert langs[4] == "und"
+
+
+def test_quality_features_and_score():
+    good = "The quick brown fox jumps over the lazy dog. " * 10
+    bad_short = "ok"
+    bad_caps = "BUY NOW!!! " * 50
+    f = quality_features(pa.array([good, bad_short, bad_caps]))
+    s = quality_score(f)
+    assert s[0] > 0.7
+    assert s[1] < 0.2
+    assert s[2] < s[0]
+    assert f["n_tokens"].tolist()[1] == 1
+
+
+def test_winnow_fingerprints():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "PREFIX " + a  # shifted content shares most fingerprints
+    fa, fb = winnow_fingerprints(pa.array([a, b]))
+    inter = len(set(fa.tolist()) & set(fb.tolist()))
+    assert inter / max(len(fa), 1) > 0.5
+    c = winnow_fingerprints(pa.array(["totally different words entirely here now"]))[0]
+    assert len(set(fa.tolist()) & set(c.tolist())) == 0
+    # deterministic
+    fa2 = winnow_fingerprints(pa.array([a]))[0]
+    assert np.array_equal(fa, fa2)
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    n, dim = 2000, 32
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    query = m[0] + rng.normal(scale=0.05, size=dim).astype(np.float32)
+    t = pa.table(
+        {"vec_id": list(range(n)), "embedding": [list(map(float, v)) for v in m]}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = brute_force_topk(ds, "vec_id", "embedding", query, k=10)
+    approx = lsh_topk(
+        ds, "vec_id", "embedding", query, k=10, num_planes=8, probe_hamming=2
+    )
+    assert exact["vec_id"].iloc[0] == 0  # sanity: planted neighbor wins
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.6
+    # the planted top-1 must survive LSH
+    assert approx["vec_id"].iloc[0] == 0
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.multimodal import (
+        FrameSampleStage,
+        ImageDecodeStage,
+        media_feature_pipeline,
+        synthesize_media,
+    )
+
+    t = synthesize_media(200, seed=42)
+    assert t.schema.names == [
+        "media_id", "media", "media_type", "width", "height", "sample_rate", "duration_ms",
+    ]
+    ds = ray.data.from_arrow(t).repartition(2)
+    feats = media_feature_pipeline(ds, batch_size=64).to_pandas()
+    n_img = (t["media_type"].to_pandas() == "image").sum()
+    n_aud = (t["media_type"].to_pandas() == "audio").sum()
+    assert len(feats) == n_img + n_aud
+    # deterministic features
+    feats2 = media_feature_pipeline(ds, batch_size=64).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert a["media_id"].tolist() == b["media_id"].tolist()
+    assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(a["features"], b["features"]))
+    # frame sampling emits num_frames per video
+    frames = ds.map_batches(
+        FrameSampleStage(num_frames=3), batch_format="pyarrow", batch_size=64
+    ).to_pandas()
+    assert all(len(f) == 3 for f in frames["frames"])
+    # strict mode surfaces the stub explicitly
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)(t.slice(0, 10))

@@ -36,8 +36,13 @@ QUERY_NAMES = [
     "dedup_exact",
     "exact_quantiles_nchars",
     "ann_topk",
+    "ann_lsh_topk",
     "order_revenue_by_nation",
     "token_totals",
+    "minhash_dedup",
+    "sessionize",
+    "asof_join_orders",
+    "quality_filter",
     "sk_qdigest_nchars",
     "sk_hll_distinct_users",
 ]

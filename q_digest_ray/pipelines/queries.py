@@ -510,6 +510,122 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def sessionize(sf_dir: str):
+    """Gap-based session windows (30-min inactivity) per user — the
+    streaming-shaped operator: partition by key, order by ts within the
+    group, stateful windowing inside ``groupby().map_groups`` (ordering
+    assumption: per-group sort on (ts, event_id), documented tie-break)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # co-locate each user's events while keeping the shuffle coarse:
+        # 32 hash buckets instead of one ray-level group per user
+        b = pc.bit_wise_and(batch["user_id"], pa.scalar(31, pa.int64()))
+        return batch.append_column("bucket", pc.cast(b, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)) | (
+            g["user_id"] != g["user_id"].shift()
+        )
+        sess_global = gap.cumsum().astype("int64")
+        out = g.groupby(sess_global).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            sum_value=("value", "sum"),
+        )
+        # per-user session index (1-based)
+        out["sess_id"] = out.groupby("user_id").cumcount() + 1
+        return out.reset_index(drop=True)
+
+    df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    df["session_start"] = pd.to_datetime(df["session_start"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return (
+        df[["user_id", "sess_id", "n_events", "session_start", "sum_value"]]
+        .sort_values(["user_id", "sess_id"])
+        .reset_index(drop=True)
+    )
+
+
+SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+"""
+
+
+def asof_join_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order with
+    o_orderdate <= ts (broadcast small side + pd.merge_asof per batch; ties
+    on equal o_orderdate broken by max o_orderkey)."""
+    orders = read_table_arrow(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    ref = ray.put(orders)
+
+    class AsOf:
+        def __init__(self):
+            self.orders = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ev = batch.to_pandas().sort_values("ts")
+            joined = pd.merge_asof(
+                ev,
+                self.orders,
+                left_on="ts",
+                right_on="o_orderdate",
+                left_by="user_id",
+                right_by="o_custkey",
+                direction="backward",
+            )
+            joined = joined.dropna(subset=["o_orderkey"])
+            return joined[["event_id", "user_id", "o_orderkey", "o_totalprice"]]
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    df = ds.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id, user_id, o_orderkey, o_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -780,6 +896,8 @@ EXACT_QUERIES = {
     "punct_stats": (punct_stats, PUNCT_STATS_SQL),
     "bpe_token_totals": (bpe_token_totals, BPE_TOKEN_SQL),
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "asof_join_orders": (asof_join_orders, ASOF_JOIN_SQL),
 }
 
 SKETCH_QUERIES = {

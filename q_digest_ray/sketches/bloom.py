@@ -44,6 +44,9 @@ class BloomFilter(Sketch):
 
     def update_batch(self, values, weights=None) -> None:
         h = hash64(values if isinstance(values, (pa.Array, pa.ChunkedArray)) else np.asarray(values))
+        self.update_hashed(h)
+
+    def update_hashed(self, h: np.ndarray) -> None:
         if h.size == 0:
             return
         pos = self._bit_positions(h).ravel()

@@ -55,6 +55,9 @@ class CountMinSketch(Sketch):
 
     def update_batch(self, values, weights=None) -> None:
         h = hash64(values if isinstance(values, (pa.Array, pa.ChunkedArray)) else np.asarray(values))
+        self.update_hashed(h, weights)
+
+    def update_hashed(self, h: np.ndarray, weights=None) -> None:
         if h.size == 0:
             return
         w = (

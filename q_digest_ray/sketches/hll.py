@@ -43,6 +43,11 @@ class HyperLogLog(Sketch):
             h = hash64(values)
         else:
             h = hash64(np.asarray(values))
+        self.update_hashed(h)
+
+    def update_hashed(self, h: np.ndarray) -> None:
+        """Update from precomputed hash64 values (lets a build stage hash a
+        shared column once for several hashing sketches)."""
         if h.size == 0:
             return
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)

@@ -87,17 +87,36 @@ class SketchBuilder:
     def __init__(self, specs: list[SketchSpec]):
         self.specs = list(specs)
 
+    _HASHING_KINDS = ("hll", "cms", "bloom")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         metrics: list[str] = []
         kinds: list[str] = []
         keys: list[str] = []
         payloads: list[bytes] = []
         ns: list[int] = []
+        hash_cache: dict[str, np.ndarray] = {}
+
+        def column_hashes(name: str) -> np.ndarray:
+            # hash a shared column ONCE per batch for all hashing sketches
+            if name not in hash_cache:
+                from q_digest_ray.functions.hashing import hash64
+
+                col = batch[name]
+                hash_cache[name] = hash64(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+            return hash_cache[name]
+
         for spec in self.specs:
             col = batch[spec.column]
+            hashing = spec.kind in self._HASHING_KINDS
             if spec.group_by is None:
                 sk = spec.make()
-                sk.update_batch(_column_values(col, spec.kind))
+                if hashing:
+                    sk.update_hashed(column_hashes(spec.column))
+                else:
+                    sk.update_batch(_column_values(col, spec.kind))
                 metrics.append(spec.metric)
                 kinds.append(spec.kind)
                 keys.append(GLOBAL_KEY)
@@ -124,12 +143,17 @@ class SketchBuilder:
                     np.r_[True, sorted_codes[1:] != sorted_codes[:-1]]
                 )
                 bounds = np.r_[starts, len(sorted_codes)]
+                col_np = None
+                if not hashing:
+                    col_np = flat.to_numpy(zero_copy_only=False)
                 for gi in range(len(starts)):
                     sel = order[bounds[gi] : bounds[gi + 1]]
                     g = sorted_codes[starts[gi]]
-                    sub = flat.take(pa.array(sel))
                     sk = spec.make()
-                    sk.update_batch(_column_values(sub, spec.kind))
+                    if hashing:
+                        sk.update_hashed(column_hashes(spec.column)[sel])
+                    else:
+                        sk.update_batch(col_np[sel])
                     metrics.append(spec.metric)
                     kinds.append(spec.kind)
                     keys.append(str(labels[g]))

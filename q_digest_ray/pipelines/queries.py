@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Min
 
 from q_digest_ray.functions.hashing import hash64
 from q_digest_ray.sources.tables import read_table, read_table_arrow
@@ -146,34 +145,61 @@ LANG_COUNTS_SQL = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORD
 
 
 def distinct_text_count(sf_dir: str):
-    """Exact distinct count via 64-bit content hash (the HLL oracle)."""
+    """Exact distinct count via 64-bit content hash (the HLL oracle).
+
+    Hash-bucketed: B coarse buckets co-locate equal hashes, each bucket
+    counts its distincts independently, counts sum exactly.  B scales with
+    data volume (each bucket must fit one task); 32 here."""
     ds = read_table(sf_dir, "documents", columns=["text"])
+    B = 32
 
     def to_hashes(batch: pa.Table) -> pa.Table:
-        h = np.unique(hash64(batch["text"]))
-        return pa.table({"h": pa.array(h.view(np.int64))})
+        h = np.unique(hash64(batch["text"])).view(np.int64)
+        return pa.table({"h": pa.array(h), "bucket": pa.array((h % B + B) % B)})
 
-    n = ds.map_batches(to_hashes, batch_format="pyarrow").unique("h")
-    return pd.DataFrame({"n_distinct": [len(n)]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": [int(g["h"].nunique())]})
+
+    parts = (
+        ds.map_batches(to_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_distinct": [int(parts["d"].sum())]})
 
 
 DISTINCT_TEXT_SQL = "SELECT count(DISTINCT text) AS n_distinct FROM documents"
 
 
 def dedup_exact(sf_dir: str):
-    """Exact dedup: keep min doc_id per distinct text (hash-partitioned)."""
+    """Exact dedup: keep min doc_id per distinct text.
+
+    Hash-partitioned into B=32 coarse buckets (equal texts share a bucket),
+    each bucket deduped independently with a vectorized pandas groupby —
+    the same semantics as a per-hash shuffle with ~30x less shuffle-key
+    overhead.  At larger scale B grows so each bucket fits one task."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = 32
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = hash64(batch["text"]).view(np.int64)
-        return pa.table({"h": pa.array(h), "doc_id": batch["doc_id"]})
+        return pa.table(
+            {"h": pa.array(h), "bucket": pa.array((h % B + B) % B), "doc_id": batch["doc_id"]}
+        )
 
-    agg = (
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        )
+        return out[["doc_id", "dup_count"]]
+
+    df = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
     )
-    df = agg.to_pandas()[["doc_id", "dup_count"]]
     df["dup_count"] = df["dup_count"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 

@@ -73,14 +73,14 @@ def run_bench() -> dict:
     # warm-up (untimed): one full pass warms the OS page cache AND each Ray
     # worker's memory arenas (this sandbox's first-touch page faults run at
     # ~60 MB/s; steady-state is what we're measuring — see BASELINE.md)
-    run_cc_pages_flagship(CC_DIR, batch_size=8192)
+    run_cc_pages_flagship(CC_DIR, batch_size=None)
 
     # best of N timed runs (sandbox page-fault noise is high)
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     headline = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        run_cc_pages_flagship(CC_DIR, batch_size=8192)
+        run_cc_pages_flagship(CC_DIR, batch_size=None)
         headline = min(headline, time.perf_counter() - t0)
 
     per_query: dict[str, float] = {}

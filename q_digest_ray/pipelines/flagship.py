@@ -70,7 +70,7 @@ def finalize(sketches: dict[tuple[str, str], object]) -> pd.DataFrame:
 
 
 def run_documents_flagship(
-    sf_dir: str, batch_size: int = 65536, concurrency=None
+    sf_dir: str, batch_size: int | None = None, concurrency=None
 ) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
     rows = build_sketches(ds, documents_specs(), batch_size=batch_size, concurrency=concurrency)
@@ -79,7 +79,7 @@ def run_documents_flagship(
 
 
 def run_cc_pages_flagship(
-    cc_dir: str, batch_size: int = 8192, concurrency=None
+    cc_dir: str, batch_size: int | None = None, concurrency=None
 ) -> pd.DataFrame:
     """The bench headline: extraction + projection + 9 sketches over the
     synthetic Common-Crawl-style table."""

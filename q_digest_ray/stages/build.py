@@ -173,7 +173,7 @@ class SketchBuilder:
 def build_sketches(
     ds,
     specs: list[SketchSpec],
-    batch_size: int = 65536,
+    batch_size: int | None = None,
     concurrency=None,
 ):
     """Dataset of input rows → Dataset of sketch rows (one per spec×group×block)."""

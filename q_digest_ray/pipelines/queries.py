@@ -652,6 +652,86 @@ ORDER BY event_id
 """
 
 
+def events_sliding(sf_dir: str):
+    """Sliding window: 1-hour windows advancing every 15 minutes, per
+    event_type.  Expansion pattern: each event lands in 4 windows, emitted
+    inside the batch partial (a flat-map fused with the combiner), then the
+    usual two-phase combine — no shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    STEP = np.timedelta64(15, "m")
+    WIN_STEPS = 4  # window length = 4 steps = 1 hour
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        base = ts.astype("datetime64[m]")
+        floor15 = base - (base.astype("int64") % 15).astype("timedelta64[m]")
+        et = batch["event_type"].to_pandas().to_numpy()
+        val = batch["value"].to_numpy()
+        frames = []
+        for j in range(WIN_STEPS):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "window_start": floor15 - j * STEP,
+                        "n_events": 1,
+                        "s_value": val,
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
+            n_events=("n_events", "sum"), s_value=("s_value", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), s_value=("s_value", "sum")
+        )
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["sum_value"] = df["s_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
+    return (
+        df[["event_type", "window_start", "n_events", "sum_value"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS ws
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+)
+GROUP BY event_type, ws
+ORDER BY event_type, window_start
+"""
+
+
+def corpus_sample_stats(sf_dir: str):
+    """Seeded corpus sampling (ray random_sample) + stats over the sample —
+    rows-only (sample membership depends on block layout)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    sample = ds.random_sample(0.5, seed=42)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        nc = batch["n_chars"].to_numpy()
+        return pd.DataFrame({"n": [len(nc)], "s": [int(nc.sum())]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        return pd.DataFrame(
+            {"sampled_rows": [n], "avg_n_chars": [round(df["s"].sum() / max(n, 1), 2)]}
+        )
+
+    return two_phase(sample, partial, final).to_pandas()
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -924,9 +1004,11 @@ EXACT_QUERIES = {
     "quality_filter": (quality_filter, QUALITY_FILTER_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_join_orders": (asof_join_orders, ASOF_JOIN_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
 }
 
 SKETCH_QUERIES = {
+    "corpus_sample_stats": corpus_sample_stats,
     "minhash_dedup": minhash_dedup,
     "simhash_pairs": simhash_pairs,
     "embedding_near_dups": embedding_near_dups,

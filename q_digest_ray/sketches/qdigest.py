@@ -92,6 +92,12 @@ class QDigest(Sketch):
         return len(self._ids)
 
     @property
+    def compression_ratio(self) -> float:
+        """Retained buckets / inserted weight — the reference test-side
+        metric (serial-implementation/src/test.c:146-148)."""
+        return len(self._ids) / self._n if self._n else 0.0
+
+    @property
     def upper_bound(self) -> int:
         """Inclusive max of the universe (the reference root's upper_bound)."""
         return (1 << self.universe_bits) - 1

@@ -732,6 +732,49 @@ def corpus_sample_stats(sf_dir: str):
     return two_phase(sample, partial, final).to_pandas()
 
 
+def revenue_by_priority(sf_dir: str):
+    """Large-large join (lineitem ⋈ orders on orderkey) via the explicit
+    bucketed hash join, then two-phase revenue aggregate per priority."""
+    from q_digest_ray.stages.join import bucketed_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"].to_pandas(), "rev": rev.to_pandas()}
+        )
+        return df.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            s=("rev", "sum"), c=("rev", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "revenue": g["s"].round(2),
+                "n_items": g["c"].astype("int64"),
+            }
+        )
+
+    df = two_phase(joined, partial, final).to_pandas()
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -1005,6 +1048,7 @@ EXACT_QUERIES = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_join_orders": (asof_join_orders, ASOF_JOIN_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
 }
 
 SKETCH_QUERIES = {

@@ -1,0 +1,96 @@
+"""Large-large joins.
+
+Two implementations with identical semantics:
+
+- ``native_join`` — thin wrapper over ``Dataset.join`` (Ray >= 2.46 hash
+  join: both sides hash-partitioned on the key across ``num_partitions``
+  aggregator actors).
+- ``bucketed_join`` — the explicit portable pattern (per the engine's
+  design notes): add ``bucket = hash(key) % B`` to both sides, union the
+  two sides into one aligned schema with a ``__side`` tag, group by the
+  coarse bucket and pandas-merge within each group.  B is the skew /
+  memory knob: each bucket's two sides must fit one task; salt hot keys by
+  raising B.
+
+Broadcast (small-side) and as-of joins live in pipelines/queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from q_digest_ray.functions.hashing import hash64
+
+
+def native_join(left, right, on: str, right_on: str | None = None, num_partitions: int = 16, join_type: str = "inner"):
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+def bucketed_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Explicit partitioned hash join returning a Dataset of joined rows."""
+    right_on = right_on or on
+    lcols = left.schema().names
+    rcols = right.schema().names
+    shared = (set(lcols) & set(rcols)) - {on}
+    if shared:
+        raise ValueError(f"overlapping non-key columns: {shared}")
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
+
+    def tag(side: str, key: str):
+        # union needs ONE aligned schema: each side fills the other side's
+        # columns with typed nulls
+        def fn(batch: pa.Table) -> pa.Table:
+            h = hash64(batch[key]).view(np.int64)
+            b = (h % num_buckets + num_buckets) % num_buckets
+            n = batch.num_rows
+            out = {
+                "__bucket": pa.array(b),
+                "__side": pa.array([side] * n, pa.string()),
+            }
+            for name in lcols:
+                out[f"l:{name}"] = (
+                    batch[name] if side == "l" else pa.nulls(n, ltypes[name])
+                )
+            for name in rcols:
+                out[f"r:{name}"] = (
+                    batch[name] if side == "r" else pa.nulls(n, rtypes[name])
+                )
+            return pa.table(out)
+
+        return fn
+
+    lt = left.map_batches(tag("l", on), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["__side"] == "l"
+        lf = g.loc[lmask, [f"l:{c}" for c in lcols]].rename(
+            columns={f"l:{c}": c for c in lcols}
+        )
+        rf = g.loc[~lmask, [f"r:{c}" for c in rcols]].rename(
+            columns={f"r:{c}": c for c in rcols}
+        )
+        joined = lf.merge(rf, left_on=on, right_on=right_on, how=how)
+        return joined
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -116,18 +116,19 @@ def run_scaling() -> dict:
     scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
 
     from q_digest_ray.sources.cc_pages import synthesize
 
     synthesize(scaling_dir, total_rows=scaling_rows, shards=64, seed=42)
 
-    def run_at(ncpu: int) -> dict:
+    def run_at(ncpu: int) -> float:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_CC_DIR=scaling_dir,
             GRAFT_CC_ROWS=str(scaling_rows),
-            GRAFT_BENCH_REPS="3",
+            GRAFT_BENCH_REPS="2",
             GRAFT_SKIP_QUERIES="1",
         )
         out = subprocess.run(
@@ -137,19 +138,24 @@ def run_scaling() -> dict:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return json.loads(out.strip().splitlines()[-1])["value"]
 
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
-    tput_lo = r_lo["docs_per_sec"]
-    tput_hi = r_hi["docs_per_sec"]
-    eff = tput_hi / ((hi / lo) * tput_lo)
+    # interleave the two levels so shared-host load swings (which dwarf the
+    # engine's own variance here) hit both levels alike; min per level
+    lo_secs, hi_secs = [], []
+    for _ in range(rounds):
+        lo_secs.append(run_at(lo))
+        hi_secs.append(run_at(hi))
+    t_lo, t_hi = min(lo_secs), min(hi_secs)
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, fresh sessions, same input)",
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"docs_per_sec_{lo}": tput_lo,
-        f"docs_per_sec_{hi}": tput_hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"all_sec_{lo}": lo_secs,
+        f"all_sec_{hi}": hi_secs,
+        f"docs_per_sec_{lo}": round(scaling_rows / t_lo, 1),
+        f"docs_per_sec_{hi}": round(scaling_rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "cc_rows": scaling_rows,
     }

@@ -6,10 +6,11 @@ Common-Crawl-style table (FIXTURES.md F1; cached under /tmp).  Also times a
 representative subset of the query catalog over $GRAFT_SF_DIR.
 
     python bench.py             # single run at $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling   # fresh processes at 8 and 32 cpus → efficiency
+    python bench.py --scaling   # N vs 4N cpus (default 4 vs 16), interleaved
 
-Scaling protocol per BASELINE.md: same input, two fresh ray.init sessions;
-efficiency = throughput_32 / (4 * throughput_8).
+Scaling protocol per BASELINE.md: same 2M-doc input, fresh ray.init
+sessions per level, levels interleaved across rounds to cancel shared-host
+load swings; efficiency = (T_lo / T_hi) / (hi / lo).
 """
 
 from __future__ import annotations

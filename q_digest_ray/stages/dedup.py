@@ -203,16 +203,36 @@ def minhash_dup_groups(
             }
         )
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow").to_pandas()
-    sizes = buckets.groupby(["band", "band_hash"])["doc_id"].nunique()
-    hot = sizes[sizes > 1].index
-    cand_pairs: set[tuple[int, int]] = set()
-    hb = buckets.set_index(["band", "band_hash"]).sort_index()
-    for key in hot:
-        members = sorted(set(hb.loc[key, "doc_id"].tolist() if hasattr(hb.loc[key, "doc_id"], "tolist") else [hb.loc[key, "doc_id"]]))
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                cand_pairs.add((members[i], members[j]))
+    # distributed candidate generation: bucket rows shuffle by a COARSE key
+    # (64 partitions); same-(band, band_hash) rows land together, pairs are
+    # emitted inside map_groups — the driver only ever sees candidate PAIRS
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "coarse",
+            pa.array(
+                (batch["band_hash"].to_numpy(zero_copy_only=False) % 64).astype(np.int32)
+            ),
+        )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            mem = sorted(set(grp["doc_id"]))
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    out_a.append(mem[i])
+                    out_b.append(mem[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    pair_df = (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .to_pandas()
+    )
+    # a pair found by several bands arrives once per band → dedup here
+    cand_pairs = {tuple(p) for p in pair_df.itertuples(index=False, name=None)}
     if not cand_pairs:
         return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
     # fetch candidate texts (small set) and verify exactly
@@ -244,44 +264,61 @@ def minhash_dup_groups(
 
 def simhash_dup_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs: pigeonhole on four 16-bit chunks → candidate
-    pairs → exact Hamming verify (<= max_hamming with max_hamming <= 3, any
-    true pair shares at least one identical chunk)."""
+    generation AND exact Hamming verification both inside the chunk-bucket
+    ``map_groups`` (signatures ride along with the bucket rows, so no
+    driver-side signature table).  With max_hamming <= 3, any true pair
+    shares at least one identical chunk, so recall is exact; a pair found in
+    several chunks is deduped at collection (pairs are tiny)."""
 
-    def to_sig(batch: pa.Table) -> pa.Table:
+    def to_chunk_rows(batch: pa.Table) -> pa.Table:
         sig = simhash64(batch[text_col])
-        return pa.table(
-            {
-                "doc_id": batch[id_col],
-                "sig": pa.array(sig.view(np.int64)),
-            }
-        )
+        n = len(sig)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        chunks = []
+        for c in range(4):
+            key = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
+            chunks.append(
+                pa.table(
+                    {
+                        "ckey": pa.array((key + np.int32(c << 16)).astype(np.int32)),
+                        "coarse": pa.array((key % 64).astype(np.int32)),
+                        "doc_id": pa.array(ids),
+                        "sig": pa.array(sig.view(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(chunks)
 
-    sigs = ds.map_batches(to_sig, batch_format="pyarrow").to_pandas()
-    sig_by_id = dict(zip(sigs["doc_id"], sigs["sig"].astype(np.int64).to_numpy().view(np.uint64)))
-    cand: set[tuple[int, int]] = set()
-    s = sigs["sig"].to_numpy().view(np.uint64)
-    ids = sigs["doc_id"].to_numpy()
-    for chunk in range(4):
-        keys = (s >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": keys, "id": ids})
-        for _, g in df.groupby("k"):
-            if len(g) > 1:
-                mem = sorted(g["id"].tolist())
-                for i in range(len(mem)):
-                    for j in range(i + 1, len(mem)):
-                        cand.add((mem[i], mem[j]))
-    rows = []
-    if cand:
-        pairs = sorted(cand)
-        a = np.array([sig_by_id[x] for x, _ in pairs], dtype=np.uint64)
-        b = np.array([sig_by_id[y] for _, y in pairs], dtype=np.uint64)
-        d = hamming64(a, b)
-        for (x, y), dist in zip(pairs, d):
-            if dist <= max_hamming:
-                rows.append({"doc_id_a": x, "doc_id_b": y, "hamming": int(dist)})
-    return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"]).sort_values(
-        ["doc_id_a", "doc_id_b"]
-    ).reset_index(drop=True)
+    def verify_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_d = [], [], []
+        for _, grp in g.groupby("ckey", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sigs = grp["sig"].to_numpy().view(np.uint64)
+            for i in range(len(ids)):
+                d = hamming64(np.full(len(ids) - i - 1, sigs[i], np.uint64), sigs[i + 1 :])
+                ok = d <= max_hamming
+                rows_a.extend([int(ids[i])] * int(ok.sum()))
+                rows_b.extend(ids[i + 1 :][ok].tolist())
+                rows_d.extend(d[ok].tolist())
+        return pd.DataFrame({"doc_id_a": rows_a, "doc_id_b": rows_b, "hamming": rows_d})
+
+    df = (
+        ds.map_batches(to_chunk_rows, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(verify_in_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(columns=["doc_id_a", "doc_id_b", "hamming"])
+    df["hamming"] = df["hamming"].astype("int64")
+    return (
+        df.drop_duplicates(["doc_id_a", "doc_id_b"])
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def embedding_dup_pairs(
@@ -310,18 +347,29 @@ def embedding_dup_pairs(
             }
         )
 
-    df = ds.map_batches(to_rows, batch_format="pyarrow").to_pandas()
-    rows = []
-    for _, g in df.groupby("bucket"):
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs exact cosine inside one LSH bucket (distributed verify)
         if len(g) < 2:
-            continue
+            return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
         m = np.stack(g["vec"].to_numpy())
         ids = g["id"].to_numpy()
         cos = m @ m.T
-        iu = np.triu_indices(len(g), k=1)
-        for i, j in zip(*iu):
-            if cos[i, j] >= threshold:
-                a, b = sorted((int(ids[i]), int(ids[j])))
-                rows.append({"id_a": a, "id_b": b, "cos_sim": round(float(cos[i, j]), 4)})
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"])
-    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        iu, ju = np.triu_indices(len(g), k=1)
+        ok = cos[iu, ju] >= threshold
+        a = np.minimum(ids[iu[ok]], ids[ju[ok]])
+        b = np.maximum(ids[iu[ok]], ids[ju[ok]])
+        return pd.DataFrame(
+            {"id_a": a, "id_b": b, "cos_sim": np.round(cos[iu[ok], ju[ok]], 4)}
+        )
+
+    out = (
+        ds.map_batches(to_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+    return (
+        out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )

@@ -126,6 +126,11 @@ class QDigest(Sketch):
         (level + d, offset) at depth L + d — offsets are unchanged under the
         left-anchored embedding, so re-keying is one vectorized shift.
         """
+        if new_bits > 48:
+            raise ValueError(
+                f"universe would grow to 2**{new_bits}; QDigest supports values "
+                "< 2**48 (heap-id level math is float64-exact only below that)"
+            )
         d = new_bits - self.universe_bits
         if d <= 0:
             return

@@ -1,0 +1,55 @@
+"""In-suite slice of the DuckDB oracle gate (sf0.001, a handful of cheap
+queries) so plain pytest also exercises Ray-vs-SQL parity; the driver and
+tools/check_oracles.py run the full catalog at sf0.01."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+NAMES = ["pricing_summary", "lang_counts", "top_users", "exact_quantiles_nchars", "revenue_by_priority"]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64").round(6)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(ray_session, sf_dir, duck, name):
+    res = entrymod.queries()[name](sf_dir)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    exp = duck.sql(entrymod.oracle_sql()[name]).df()
+    a, b = _normalize(pd.DataFrame(res)), _normalize(exp)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_qdigest_rejects_oversized_universe():
+    import numpy as np
+
+    from q_digest_ray.sketches.qdigest import QDigest
+
+    q = QDigest(k=8, universe_bits=8)
+    with pytest.raises(ValueError, match="2\\*\\*48"):
+        q.update_batch(np.array([1 << 50]))

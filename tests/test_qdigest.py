@@ -190,6 +190,31 @@ def _geometric(n: int) -> np.ndarray:
         ("uniform", lambda n: np.random.default_rng(377).integers(0, n, n)),
     ],
 )
+def test_reference_scale_accuracy(name, gen):
+    """The reference's largest exercised workload: n = 2,000,000 inserts,
+    K = 20, seed = 377 (serial-implementation/src/test.c:211-213), with the
+    printed comparisons turned into asserted eps*n bounds."""
+    n = 2_000_000
+    vals = gen(n)
+    rng = np.random.default_rng(377)
+    shuffled = rng.permutation(vals)
+    q = QDigest(k=20, universe_bits=max(1, int(vals.max()).bit_length()))
+    for chunk in np.array_split(shuffled, 31):
+        q.update_batch(chunk)
+    assert q.n == n
+    assert_within_bound(q, vals)
+    assert q.num_buckets <= 6 * q.k + 64
+    assert q.compression_ratio < 0.001
+
+
+@pytest.mark.parametrize(
+    "name,gen",
+    [
+        ("poissonish", _poissonish),
+        ("geometric", _geometric),
+        ("uniform", lambda n: np.random.default_rng(377).integers(0, n, n)),
+    ],
+)
 def test_distribution_accuracy(name, gen):
     n = 100_000
     vals = gen(n)

@@ -1011,6 +1011,28 @@ def sk_cms_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": cands, "est_count": est.astype("int64")})
 
 
+def sk_qdigest_value_by_hour(sf_dir: str):
+    """Windowed sketch: per-hour Q-Digest of event values (sketches keyed by
+    an event-time window — the streaming-shaped sketch pattern; values
+    sketched in cents so the integer-universe Q-Digest applies)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"), "%Y-%m-%d %H:00")
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"window": win, "value_cents": cents})
+
+    rows = build_sketches(
+        ds.map_batches(add_cols, batch_format="pyarrow"),
+        [SketchSpec("value_cents_by_hour", "value_cents", "qdigest", {"k": 64, "universe_bits": 16}, group_by="window")],
+    )
+    sketches = collect_sketches(merge_grouped(rows))
+    out = []
+    for (metric, win), sk in sorted(sketches.items()):
+        out.append((win, sk.quantile(0.5), sk.quantile(0.9), sk.n))
+    return pd.DataFrame(out, columns=["window", "p50_cents", "p90_cents", "n"])
+
+
 def sk_bloom_membership(sf_dir: str):
     """Bloom over doc_ids of source='src1'; probe all doc_ids."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
@@ -1065,5 +1087,6 @@ SKETCH_QUERIES = {
     "sk_kll_nchars": sk_kll_nchars,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,
+    "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
     "sk_bloom_membership": sk_bloom_membership,
 }

@@ -9,12 +9,12 @@
 - embedding cosine near-dup: all-pairs within LSH (random hyperplane)
   buckets
 
-Everything per-batch is numpy-vectorized; the only wide operation is the
-bucket groupby, whose input is one tiny row per (doc, band) — at the
-sf-gate scales the bucket table is folded with two_phase; at 10^12-doc
-scale swap the final combine for ``groupby(["band","band_hash"])`` (noted
-inline).  Shingling/hashing reuse functions/hashing.py so candidates are
-consistent across stages.
+Everything per-batch is numpy-vectorized; the only wide operations are
+coarse-bucket groupbys whose inputs are one tiny row per (doc, band) /
+(doc, chunk) / (vec, bucket), and candidate generation + verification run
+INSIDE the bucket groups — the driver only collects verified pairs.
+Shingling/hashing reuse functions/hashing.py so candidates are consistent
+across stages.
 """
 
 from __future__ import annotations
@@ -26,7 +26,6 @@ import pyarrow.compute as pc
 
 from q_digest_ray.functions.hashing import hash64, splitmix64
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _token_hashes(texts: pa.Array | pa.ChunkedArray):
@@ -183,11 +182,12 @@ def minhash_dup_groups(
 
     Returns (doc_id, group_id, jaccard_to_root) for every doc in a verified
     duplicate group, sorted by (group_id, doc_id).  Shape: per-batch
-    signatures → (band, band_hash, doc) bucket rows → bucket grouping →
-    candidate pairs → exact-Jaccard verify → union-find.  The bucket
-    grouping here folds via repartition (bucket rows are tiny); at 10^12
-    docs make it ``rows.groupby(["band", "band_hash"])`` and verify
-    per-bucket in map_groups.
+    signatures → (band, band_hash, doc) bucket rows → coarse-bucket groupby
+    emitting candidate PAIRS inside map_groups (the driver never sees bucket
+    rows) → exact-Jaccard verify on the candidates' texts → union-find over
+    the verified pairs (pairs are tiny relative to the corpus; if a corpus
+    ever produced a huge pair set, run min-label propagation as a few
+    groupby rounds instead).
     """
 
     def to_buckets(batch: pa.Table) -> pa.Table:

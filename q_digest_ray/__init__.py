@@ -16,6 +16,7 @@ from q_digest_ray.sketches.cms import CountMinSketch
 from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.tdigest import TDigest
 from q_digest_ray.sketches.kll import KLL
+from q_digest_ray.sketches.kmv import KMV
 
 __all__ = [
     "QDigest",
@@ -24,4 +25,5 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "KMV",
 ]

@@ -1011,6 +1011,27 @@ def sk_cms_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": cands, "est_count": est.astype("int64")})
 
 
+def sk_kmv_user_overlap(sf_dir: str):
+    """Set operations on distinct users per event_type via bottom-k (KMV)
+    sketches: distinct estimate per type plus estimated user overlap and
+    Jaccard between 'click' and 'purchase' — the capability HLL lacks."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    rows = build_sketches(
+        ds,
+        [SketchSpec("users_kmv", "user_id", "kmv", {"k": 1024}, group_by="event_type")],
+    )
+    sketches = collect_sketches(merge_grouped(rows))
+    out = []
+    for (metric, et), sk in sorted(sketches.items()):
+        out.append((f"distinct:{et}", float(round(sk.estimate()))))
+    click = sketches.get(("users_kmv", "click"))
+    purchase = sketches.get(("users_kmv", "purchase"))
+    if click is not None and purchase is not None:
+        out.append(("overlap:click&purchase", float(round(click.intersection_estimate(purchase)))))
+        out.append(("jaccard:click&purchase", round(click.jaccard_estimate(purchase), 4)))
+    return pd.DataFrame(out, columns=["stat", "value"])
+
+
 def sk_qdigest_value_by_hour(sf_dir: str):
     """Windowed sketch: per-hour Q-Digest of event values (sketches keyed by
     an event-time window — the streaming-shaped sketch pattern; values
@@ -1088,5 +1109,6 @@ SKETCH_QUERIES = {
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
+    "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
 }

@@ -5,6 +5,7 @@ from q_digest_ray.sketches.cms import CountMinSketch
 from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.tdigest import TDigest
 from q_digest_ray.sketches.kll import KLL
+from q_digest_ray.sketches.kmv import KMV
 
 __all__ = [
     "Sketch",
@@ -15,4 +16,5 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "KMV",
 ]

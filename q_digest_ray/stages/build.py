@@ -27,6 +27,7 @@ from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.cms import CountMinSketch
 from q_digest_ray.sketches.hll import HyperLogLog
 from q_digest_ray.sketches.kll import KLL
+from q_digest_ray.sketches.kmv import KMV
 from q_digest_ray.sketches.qdigest import QDigest
 from q_digest_ray.sketches.tdigest import TDigest
 
@@ -37,6 +38,7 @@ _KINDS = {
     "bloom": BloomFilter,
     "tdigest": TDigest,
     "kll": KLL,
+    "kmv": KMV,
 }
 
 GLOBAL_KEY = ""
@@ -76,7 +78,7 @@ class SketchSpec:
 
 def _column_values(col: pa.ChunkedArray, kind: str):
     """Numeric sketches take numpy; hashing sketches take the Arrow array."""
-    if kind in ("hll", "cms", "bloom"):
+    if kind in ("hll", "cms", "bloom", "kmv"):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return col.to_numpy(zero_copy_only=False)
 
@@ -87,7 +89,7 @@ class SketchBuilder:
     def __init__(self, specs: list[SketchSpec]):
         self.specs = list(specs)
 
-    _HASHING_KINDS = ("hll", "cms", "bloom")
+    _HASHING_KINDS = ("hll", "cms", "bloom", "kmv")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metrics: list[str] = []

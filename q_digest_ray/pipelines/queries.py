@@ -390,20 +390,19 @@ GROUP BY n_name ORDER BY n_name
 
 
 def high_value_orders(sf_dir: str):
-    """Filter + projection (predicate applied vectorized per batch)."""
-    ds = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    """Filter + projection, PUSHED DOWN to the read: the pyarrow expression
+    filters at row-group level so non-matching rows never leave storage."""
+    import os
+
+    import ray.data
+
+    expr = (pc.field("o_totalprice") > 400000.0) & (pc.field("o_orderstatus") == "F")
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+        filter=expr,
     )
-
-    def f(batch: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater(batch["o_totalprice"], pa.scalar(400000.0)),
-            pc.equal(batch["o_orderstatus"], pa.scalar("F")),
-        )
-        t = batch.filter(m)
-        return t.select(["o_orderkey", "o_totalprice"])
-
-    df = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    df = ds.to_pandas()
     return df.sort_values("o_orderkey").reset_index(drop=True)
 
 

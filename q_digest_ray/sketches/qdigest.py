@@ -171,6 +171,8 @@ class QDigest(Sketch):
             cnts = cnts.astype(np.int64)
         else:
             w = np.asarray(weights, dtype=np.int64)
+            if w.size and w.min() < 0:
+                raise ValueError("weights must be non-negative (C insert takes unsigned count)")
             uniq, inv = np.unique(vals, return_inverse=True)
             cnts = np.bincount(inv, weights=w).astype(np.int64)
         leaf_base = np.int64(1) << np.int64(self.universe_bits)

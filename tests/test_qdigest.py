@@ -309,3 +309,9 @@ def test_merge_mixed_universes():
     assert a.n == 5
     assert a.quantile(1.0) >= 900
     assert a.quantile(0.2) == 1
+
+
+def test_rejects_negative_weights():
+    q = QDigest(k=10, universe_bits=8)
+    with pytest.raises(ValueError, match="non-negative"):
+        q.update_batch(np.array([1, 2]), weights=np.array([3, -1]))

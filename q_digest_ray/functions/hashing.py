@@ -67,21 +67,22 @@ def _hash_var_width(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     terms = (d + np.uint64(1)) * weights  # +1 so trailing zero bytes matter
     starts = (offsets[:-1] - base).astype(np.int64)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.uint64)
-    # reduceat needs strictly valid indices; empty rows handled below
-    idx = np.minimum(starts, total - 1)
-    sums = np.add.reduceat(terms, idx)
-    # rows whose start == next start are empty → sum contribution must be 0;
-    # also reduceat on duplicate indices returns terms[idx] for all but last.
+    # append a zero sentinel so a trailing empty row's start == total is a
+    # VALID reduceat index; clamping instead would truncate the preceding
+    # row's segment (same-string-different-batch hashes)
+    terms_ext = np.append(terms, np.uint64(0))
+    sums = np.add.reduceat(terms_ext, starts)
+    # rows whose start == next start are empty → reduceat returned a single
+    # element there; zero them explicitly
     empty = lengths == 0
     sums[empty] = np.uint64(0)
     # rebase: multiply by R**(-start)
-    inv_weights = np.empty(total, dtype=np.uint64)
+    inv_weights = np.empty(total + 1, dtype=np.uint64)
     inv_weights[0] = np.uint64(1)
-    if total > 1:
-        np.multiply.accumulate(
-            np.full(total - 1, _POLY_R_INV, dtype=np.uint64), out=inv_weights[1:]
-        )
-    sums *= inv_weights[idx]
+    np.multiply.accumulate(
+        np.full(total, _POLY_R_INV, dtype=np.uint64), out=inv_weights[1:]
+    )
+    sums *= inv_weights[starts]
     sums[empty] = np.uint64(0)
     return splitmix64(sums ^ (lengths * _SM_C1))
 
@@ -134,11 +135,16 @@ def hash64(values: "pa.Array | pa.ChunkedArray | np.ndarray", seed: int = 0) -> 
         if seed:
             h = splitmix64(h ^ seed64)
         return h
-    # plain numpy
+    # plain numpy — hash by 64-bit BIT PATTERN, matching the Arrow path
     arr = np.asarray(values)
     if arr.dtype.kind in "iufM":
-        a64 = arr.astype(np.int64, copy=False).view(np.uint64) if arr.dtype.itemsize == 8 and arr.dtype.kind != "u" else arr.astype(np.uint64)
-        h = splitmix64(a64)
+        if arr.dtype.kind == "f":
+            a64 = arr.astype(np.float64, copy=False).view(np.uint64)
+        elif arr.dtype.itemsize == 8:
+            a64 = arr.view(np.uint64) if arr.dtype.kind != "M" else arr.view(np.int64).view(np.uint64)
+        else:
+            a64 = arr.astype(np.uint64)  # small ints sign-extend like int64 view
+        h = splitmix64(np.ascontiguousarray(a64))
     elif arr.dtype.kind in "SU" or arr.dtype == object:
         return hash64(pa.array(arr.astype(str)), seed=seed)
     else:

@@ -183,9 +183,10 @@ def resumable_sketch_build(
         columns=["url", "html", "lang"],
         resume=resume,
     )
-    outputs = sorted(
-        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-    )
+    # merge ONLY the outputs of the current shard list — never glob the
+    # directory, or stale part files from a previously larger input would be
+    # silently double-counted
+    outputs = [_output_path(out_dir, i) for i in range(len(shard_paths))]
     rows = ray.data.read_parquet(outputs, override_num_blocks=len(outputs))
     result = finalize(collect_sketches(merge_grouped(rows)))
     return result, stats

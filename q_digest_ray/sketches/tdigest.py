@@ -85,6 +85,15 @@ class TDigest(Sketch):
             if weights is None
             else np.asarray(weights, dtype=np.float64)
         )
+        if weights is not None:
+            if w.min() < 0:
+                raise ValueError("weights must be non-negative")
+            keep = w > 0  # zero-weight rows would create NaN centroids
+            if not keep.all():
+                vals = vals[keep]
+                w = w[keep]
+                if vals.size == 0:
+                    return
         self._min = min(self._min, float(vals.min()))
         self._max = max(self._max, float(vals.max()))
         self._recluster(

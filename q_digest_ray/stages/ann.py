@@ -109,11 +109,16 @@ def lsh_topk(
             cos = m[keep] @ self.q
             ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
             order = np.argsort(-cos)[:k]
+            # scanned emitted ONCE per batch (first row) so the sum is the
+            # true candidate count, not k x it
+            scanned_col = np.zeros(len(order), dtype=np.int64)
+            if len(order):
+                scanned_col[0] = scanned
             return pa.table(
                 {
                     id_col: pa.array(ids[order]),
                     "cos_sim": pa.array(cos[order]),
-                    "scanned": pa.array(np.full(len(order), scanned, dtype=np.int64)),
+                    "scanned": pa.array(scanned_col),
                 }
             )
 

@@ -128,6 +128,13 @@ class SketchBuilder:
                 gcol = batch[spec.group_by]
                 if isinstance(gcol, pa.ChunkedArray):
                     gcol = gcol.combine_chunks()
+                # rows with a null group key are excluded from grouped
+                # sketches (dictionary_encode yields NaN codes otherwise)
+                valid_idx = None
+                if gcol.null_count:
+                    valid = gcol.is_valid().to_numpy(zero_copy_only=False)
+                    valid_idx = np.flatnonzero(valid)
+                    gcol = gcol.take(pa.array(valid_idx))
                 if spec.salt > 0:
                     from q_digest_ray.functions.hashing import hash64
 
@@ -150,6 +157,8 @@ class SketchBuilder:
                     col_np = flat.to_numpy(zero_copy_only=False)
                 for gi in range(len(starts)):
                     sel = order[bounds[gi] : bounds[gi + 1]]
+                    if valid_idx is not None:
+                        sel = valid_idx[sel]  # back to full-column positions
                     g = sorted_codes[starts[gi]]
                     sk = spec.make()
                     if hashing:

@@ -79,12 +79,16 @@ def minhash_signatures(texts, num_perm: int = 128, w: int = 3, seed: int = 1):
     if len(sh) == 0:
         return sig
     # per-permutation hash family: splitmix64(shingle ^ seed_j) — uniform,
-    # overflow-free (mod-prime affine maps overflow uint64 multiplication)
+    # overflow-free (mod-prime affine maps overflow uint64 multiplication).
+    # A max-sentinel is appended so a trailing empty doc's start == len(sh)
+    # is a valid reduceat index (clamping would truncate the previous doc's
+    # segment and make signatures depend on batch layout).
     empty = off[1:] == off[:-1]
-    idx = np.minimum(off[:-1], len(sh) - 1)
+    idx = off[:-1]
     for j in range(num_perm):
         pv = splitmix64(sh ^ perm_seeds[j])
-        mins = np.minimum.reduceat(pv, idx)
+        pv_ext = np.append(pv, np.uint64(np.iinfo(np.uint64).max))
+        mins = np.minimum.reduceat(pv_ext, idx)
         mins[empty] = np.iinfo(np.uint64).max
         sig[:, j] = mins
     return sig
@@ -125,14 +129,16 @@ def simhash64(texts) -> np.ndarray:
     n_docs = len(off) - 1
     if len(h) == 0:
         return np.zeros(n_docs, dtype=np.uint64)
-    idx = np.minimum(off[:-1], len(h) - 1)
+    idx = off[:-1]
     empty = off[1:] == off[:-1]
     tok_counts = (off[1:] - off[:-1]).astype(np.int64)
     out = np.zeros(n_docs, dtype=np.uint64)
-    # one bit at a time keeps peak memory at O(n_tokens), not O(64 x tokens)
+    # one bit at a time keeps peak memory at O(n_tokens), not O(64 x tokens);
+    # zero sentinel keeps a trailing empty doc's start == len(h) valid
     for bit in range(64):
         ones = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-        ones_per_doc = np.add.reduceat(ones, idx)
+        ones_ext = np.append(ones, np.int64(0))
+        ones_per_doc = np.add.reduceat(ones_ext, idx)
         ones_per_doc[empty] = 0
         # sum of (+-1) > 0  <=>  ones > tokens/2
         sig_bit = (2 * ones_per_doc) > tok_counts
@@ -140,11 +146,13 @@ def simhash64(texts) -> np.ndarray:
     return out
 
 
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = a ^ b
-    # vectorized popcount via uint8 view + lookup
-    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-    return table[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+    # vectorized popcount via uint8 view + module-level lookup table
+    return _POPCOUNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

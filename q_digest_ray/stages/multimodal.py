@@ -87,14 +87,16 @@ class ImageDecodeStage:
     FEATURE_DIM = 3 * 8 * 8
 
     def __init__(self, strict: bool = False):
-        self.strict = strict and not HAS_PIL
+        # strict always raises: no real decoder exists in this codebase even
+        # when an imaging lib happens to be importable
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.strict:
             raise NotImplementedError(
-                "image decode requires an imaging library (PIL/cv2) — not "
-                "available in this environment; use strict=False for the "
-                "deterministic fake decoder"
+                "image decode is STUBBED (no real decoder implemented; "
+                "imaging libs absent in this environment) — use "
+                "strict=False for the deterministic fake decoder"
             )
         mask = pa.compute.equal(batch["media_type"], pa.scalar("image"))
         t = batch.filter(mask)

@@ -23,10 +23,13 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# Ray WORKERS resolve q_digest_ray via inherited PYTHONPATH, not the
+# driver's sys.path — export before ray.init so bench works from any cwd
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 CC_DIR = os.environ.get("GRAFT_CC_DIR", "/tmp/qdr_cc_pages_bench")
 CC_ROWS = int(os.environ.get("GRAFT_CC_ROWS", "500000"))
-CC_SHARDS = 32
+CC_SHARDS = int(os.environ.get("GRAFT_CC_SHARDS", "32"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -129,6 +132,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_CC_DIR=scaling_dir,
             GRAFT_CC_ROWS=str(scaling_rows),
+            GRAFT_CC_SHARDS="64",  # MUST match the parent synthesize() call
             GRAFT_BENCH_REPS="2",
             GRAFT_SKIP_QUERIES="1",
         )

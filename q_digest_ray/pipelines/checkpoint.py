@@ -72,6 +72,10 @@ class _ShardWorker:
         for row in batch.to_pylist():
             idx, path = int(row["idx"]), row["path"]
             t0 = time.perf_counter()
+            # fingerprint BEFORE reading: if the input is replaced while we
+            # process, the manifest must NOT pair the new fingerprint with
+            # output from the old bytes (resume would skip recomputation)
+            fingerprint = _fingerprint(path)
             table = pq.read_table(path, columns=self.columns)
             out = self.shard_fn(table)
             out_path = _output_path(self.out_dir, idx)
@@ -83,7 +87,7 @@ class _ShardWorker:
             entry = {
                 "idx": idx,
                 "input": path,
-                "input_fingerprint": _fingerprint(path),
+                "input_fingerprint": fingerprint,
                 "rows_in": table.num_rows,
                 "rows_out": out.num_rows,
                 "output_sha256": digest,

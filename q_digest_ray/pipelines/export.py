@@ -32,6 +32,13 @@ def export_curated(
     """Filter by quality and write lang-partitioned Parquet."""
     import pyarrow.compute as pc
 
+    import os
+    import shutil
+
+    # write_parquet appends uniquely-named files; clear previous output so
+    # a re-run can't double-count (same hazard checkpoint.py guards)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     scored = quality_scored(ds)
     kept = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["quality_score"], pa.scalar(min_quality))),

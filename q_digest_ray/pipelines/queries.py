@@ -349,11 +349,16 @@ def order_revenue_by_nation(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             ck = batch["o_custkey"].to_numpy()
             pos = np.searchsorted(self.lk["custkeys"], ck)
+            # inner-join semantics: drop custkeys absent from customer
+            # (a bare lookup would mis-attribute revenue or index OOB)
+            pos_safe = np.minimum(pos, len(self.lk["custkeys"]) - 1)
+            present = self.lk["custkeys"][pos_safe] == ck
+            pos = pos_safe[present]
             nk = self.lk["nationkey_by_cust"][pos]
             npos = np.searchsorted(self.nkeys, nk)
             names = self.nnames[npos]
             df = pd.DataFrame(
-                {"n_name": names, "price": batch["o_totalprice"].to_numpy()}
+                {"n_name": names, "price": batch["o_totalprice"].to_numpy()[present]}
             )
             return df.groupby("n_name", sort=False, as_index=False).agg(
                 s=("price", "sum"), c=("price", "size")
@@ -469,9 +474,12 @@ def ann_topk(sf_dir: str):
             )
             mask = pc.not_equal(t["vec_id"], pa.scalar(0))
             t = t.filter(mask)
-            # per-batch top-k prune before the global sort
+            # per-batch top-k prune before the global sort; vec_id tie-break
+            # must match the oracle's ORDER BY cos DESC, vec_id ASC
             if t.num_rows > 10:
-                idx = pc.select_k_unstable(t, k=10, sort_keys=[("cos_sim", "descending")])
+                idx = pc.select_k_unstable(
+                    t, k=10, sort_keys=[("cos_sim", "descending"), ("vec_id", "ascending")]
+                )
                 t = t.take(idx)
             return t
 
@@ -936,20 +944,13 @@ def fingerprint_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _sketch_stats(sf_dir: str, table: str, columns: list[str], specs, ps=(0.5, 0.9, 0.99)):
+def _sketch_stats(sf_dir: str, table: str, columns: list[str], specs):
+    """Build + merge + finalize (the exact flagship flattening, reused)."""
+    from q_digest_ray.pipelines.flagship import finalize
+
     ds = read_table(sf_dir, table, columns=columns)
     rows = build_sketches(ds, specs)
-    sketches = collect_sketches(merge_grouped(rows))
-    out = []
-    for (metric, key), sk in sorted(sketches.items()):
-        kind = type(sk).kind
-        if kind in ("qdigest", "tdigest", "kll"):
-            for p in ps:
-                out.append((metric, key, f"p{int(p*100)}", float(sk.quantile(p))))
-        elif kind == "hll":
-            out.append((metric, key, "distinct_estimate", float(round(sk.estimate()))))
-        out.append((metric, key, "n", float(sk.n)))
-    return pd.DataFrame(out, columns=["metric", "group_key", "stat", "value"])
+    return finalize(collect_sketches(merge_grouped(rows)))
 
 
 def sk_qdigest_nchars(sf_dir: str):

@@ -128,6 +128,11 @@ def synthesize(
             if json.load(f).get("params") == params:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # remove stale shards from a previous layout (read_cc_pages globs the
+    # directory; leftovers would silently inflate the table)
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, f))
     pool = _token_pool(np.random.default_rng(np.random.SeedSequence([seed, 7777])))
     per = total_rows // shards
     digests = []

@@ -5,7 +5,10 @@ and its oracle_sql() in DuckDB at a given sf, compare row count, schema and
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# workers need it too (inherited env, not driver sys.path)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import duckdb
 import numpy as np

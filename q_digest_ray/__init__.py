@@ -17,6 +17,7 @@ from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.tdigest import TDigest
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
+from q_digest_ray.sketches.misra_gries import MisraGries
 
 __all__ = [
     "QDigest",
@@ -26,4 +27,5 @@ __all__ = [
     "TDigest",
     "KLL",
     "KMV",
+    "MisraGries",
 ]

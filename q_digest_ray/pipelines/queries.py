@@ -1011,6 +1011,26 @@ def sk_cms_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": cands, "est_count": est.astype("int64")})
 
 
+def mg_heavy_langs(sf_dir: str):
+    """Misra-Gries heavy-hitter langs via the distributed sketch pipeline.
+
+    With distinct langs << k=64 the summary never shrinks, so the counters
+    are EXACT and merge-order-independent — which is why this sketch query
+    can carry a SQL oracle (the general-case deterministic bound is
+    n/(k+1) undercount; tested in tests/test_misra_gries.py)."""
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    rows = build_sketches(ds, [SketchSpec("langs_mg", "lang", "mg", {"k": 64})])
+    sk = collect_sketches(merge_grouped(rows))[("langs_mg", "")]
+    hh = sk.heavy_hitters()
+    return pd.DataFrame({"key": [k for k, _ in hh], "est_count": [c for _, c in hh]})
+
+
+MG_HEAVY_LANGS_SQL = """
+SELECT lang AS key, count(*) AS est_count
+FROM documents GROUP BY lang ORDER BY est_count DESC, key
+"""
+
+
 def sk_kmv_user_overlap(sf_dir: str):
     """Set operations on distinct users per event_type via bottom-k (KMV)
     sketches: distinct estimate per type plus estimated user overlap and
@@ -1092,6 +1112,7 @@ EXACT_QUERIES = {
     "asof_join_orders": (asof_join_orders, ASOF_JOIN_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
+    "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
 }
 
 SKETCH_QUERIES = {

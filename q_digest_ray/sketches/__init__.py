@@ -6,6 +6,7 @@ from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.tdigest import TDigest
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
+from q_digest_ray.sketches.misra_gries import MisraGries
 
 __all__ = [
     "Sketch",
@@ -17,4 +18,5 @@ __all__ = [
     "TDigest",
     "KLL",
     "KMV",
+    "MisraGries",
 ]

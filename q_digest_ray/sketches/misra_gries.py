@@ -1,0 +1,125 @@
+"""Misra-Gries heavy-hitters summary (Misra & Gries 1982; merge rule per
+Agarwal et al., "Mergeable Summaries", PODS 2012 — public algorithms; also
+the subject of the retrieved PODS 2023 paper in PAPERS.md).
+
+Keeps at most k (key, count) pairs.  Guarantees after any stream / merges:
+    true_count - n/(k+1)  <=  estimate  <=  true_count
+so every key with frequency > n/(k+1) is guaranteed present — unlike CMS,
+the summary ENUMERATES its heavy hitters and never overcounts.
+
+Merge: add counters, then subtract the (k+1)-largest combined count from
+every counter and drop non-positives (the mergeable-summaries offset rule);
+commutative/associative within the deterministic bound.
+
+Keys are stored as strings (web-scale group keys: langs, hosts); batch
+updates pre-aggregate with Arrow value_counts so the per-batch cost is one
+dict merge over distincts, not rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from q_digest_ray.sketches.base import Sketch, register
+
+
+class MisraGries(Sketch):
+    kind = "mg"
+
+    __slots__ = ("k", "counters", "_n")
+
+    def __init__(self, k: int = 64):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.counters: dict[str, int] = {}
+        self._n = 0
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    @property
+    def error_bound(self) -> float:
+        """Max undercount of any estimate: n / (k+1)."""
+        return self._n / (self.k + 1)
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        # subtract the (k+1)-largest count from everyone, drop <= 0
+        counts = np.sort(np.fromiter(self.counters.values(), dtype=np.int64))
+        offset = int(counts[-(self.k + 1)])
+        self.counters = {
+            key: c - offset for key, c in self.counters.items() if c - offset > 0
+        }
+
+    def update_batch(self, values, weights=None) -> None:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            vc = values.value_counts()
+            keys = vc.field("values").to_pylist()
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        else:
+            arr = np.asarray(values)
+            uk, counts = np.unique(arr, return_counts=True)
+            keys = uk.tolist()
+        if weights is not None:
+            raise NotImplementedError("MisraGries takes unweighted streams")
+        for key, c in zip(keys, counts):
+            key = str(key)
+            self.counters[key] = self.counters.get(key, 0) + int(c)
+        self._n += int(np.sum(counts))
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.k = min(self.k, other.k)
+        for key, c in other.counters.items():
+            self.counters[key] = self.counters.get(key, 0) + int(c)
+        self._n += other._n
+        self._shrink()
+        return self
+
+    def heavy_hitters(self, min_fraction: float = 0.0) -> list[tuple[str, int]]:
+        """(key, estimate) sorted by estimate desc, key asc; every key with
+        true frequency > n*max(min_fraction, 1/(k+1)) is guaranteed listed."""
+        thresh = min_fraction * self._n
+        out = [(k, c) for k, c in self.counters.items() if c >= thresh]
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))
+
+    def estimate(self, key: str) -> int:
+        return self.counters.get(str(key), 0)
+
+    def to_bytes(self) -> bytes:
+        items = sorted(self.counters.items())
+        blob = b"".join(
+            struct.pack("<I", len(k.encode())) + k.encode() + struct.pack("<q", c)
+            for k, c in items
+        )
+        return struct.pack("<BIQI", 1, self.k, self._n, len(items)) + blob
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "MisraGries":
+        ver, k, n, m = struct.unpack_from("<BIQI", buf, 0)
+        s = cls(k=k)
+        s._n = n
+        off = struct.calcsize("<BIQI")
+        for _ in range(m):
+            (klen,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            key = buf[off : off + klen].decode()
+            off += klen
+            (c,) = struct.unpack_from("<q", buf, off)
+            off += 8
+            s.counters[key] = c
+        return s
+
+    def __repr__(self) -> str:
+        return f"MisraGries(k={self.k}, n={self._n}, keys={len(self.counters)})"
+
+
+register(MisraGries)

@@ -28,6 +28,7 @@ from q_digest_ray.sketches.cms import CountMinSketch
 from q_digest_ray.sketches.hll import HyperLogLog
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
+from q_digest_ray.sketches.misra_gries import MisraGries
 from q_digest_ray.sketches.qdigest import QDigest
 from q_digest_ray.sketches.tdigest import TDigest
 
@@ -39,6 +40,7 @@ _KINDS = {
     "tdigest": TDigest,
     "kll": KLL,
     "kmv": KMV,
+    "mg": MisraGries,
 }
 
 GLOBAL_KEY = ""

@@ -123,11 +123,31 @@ def hash64(values: "pa.Array | pa.ChunkedArray | np.ndarray", seed: int = 0) -> 
             data, offsets = _string_buffers(values)
             h = _hash_var_width(data, offsets)
         else:
-            if pa.types.is_timestamp(t) or pa.types.is_date(t):
-                np_vals = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # Normalize to a null-free 8-byte Arrow array FIRST, so the numpy
+            # conversion never falls back to float64-with-NaN (which would make
+            # a non-null value hash differently in a batch that contains nulls)
+            # and float32 is hashed by its float64 bit pattern, not a value
+            # truncation — both match the plain-numpy path below.
+            if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+                vals = values.cast(pa.int64())
+            elif pa.types.is_floating(t):
+                vals = values if t == pa.float64() else values.cast(pa.float64())
+            elif pa.types.is_boolean(t):
+                vals = values.cast(pa.int64())
+            elif pa.types.is_integer(t) and t.bit_width != 64:
+                # sign-extends to 64 bits, same as the numpy small-int path
+                vals = values.cast(pa.int64())
             else:
-                np_vals = values.to_numpy(zero_copy_only=False)
-            h = splitmix64(np.ascontiguousarray(np_vals).view(np.uint64) if np_vals.dtype.itemsize == 8 else np_vals.astype(np.uint64))
+                vals = values  # int64 / uint64
+            if vals.null_count:
+                # slot value is irrelevant — overwritten by the sentinel below
+                vals = vals.fill_null(0)
+            np_vals = vals.to_numpy(zero_copy_only=False)
+            if np_vals.dtype.kind == "f":
+                a64 = np_vals.astype(np.float64, copy=False).view(np.uint64)
+            else:
+                a64 = np_vals.view(np.uint64)
+            h = splitmix64(np.ascontiguousarray(a64))
         if values.null_count:
             mask = values.is_null().to_numpy(zero_copy_only=False)
             h = h.copy()

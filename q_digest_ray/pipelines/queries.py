@@ -29,6 +29,7 @@ from q_digest_ray.sources.tables import read_table, read_table_arrow
 from q_digest_ray.stages.agg import two_phase
 from q_digest_ray.stages.build import SketchSpec, build_sketches
 from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+from q_digest_ray.stages.partitioning import derive_buckets
 
 # ---------------------------------------------------------------------------
 # exact queries
@@ -144,21 +145,37 @@ def lang_counts(sf_dir: str):
 LANG_COUNTS_SQL = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"
 
 
-def distinct_text_count(sf_dir: str):
-    """Exact distinct count via 64-bit content hash (the HLL oracle).
+def distinct_text_count(sf_dir: str, num_buckets: int | None = None):
+    """Distinct count via 128-bit content key (the HLL oracle).
 
-    Hash-bucketed: B coarse buckets co-locate equal hashes, each bucket
-    counts its distincts independently, counts sum exactly.  B scales with
-    data volume (each bucket must fit one task); 32 here."""
+    Hash-bucketed: B coarse buckets co-locate equal keys, each bucket counts
+    its distincts independently, counts sum exactly.  B is derived from input
+    bytes (SCALE.md rule, ~1 GiB/bucket) so each bucket fits one task at any
+    scale; results are B-invariant.
+
+    Texts are keyed by TWO independent 64-bit hashes (128 bits): a silent
+    merge needs a full 128-bit collision — for 10^12 distinct docs the
+    expected number of colliding pairs is (10^12)^2 / 2^129 ~= 1.5e-15, i.e.
+    never in practice.  Shipping the texts themselves for literal comparison
+    would make this shuffle input-sized (~1 TB/PB moved vs 24 B/doc here);
+    the 128-bit key is the deliberate web-scale trade."""
     ds = read_table(sf_dir, "documents", columns=["text"])
-    B = 32
+    B = num_buckets or derive_buckets(ds)
 
     def to_hashes(batch: pa.Table) -> pa.Table:
-        h = np.unique(hash64(batch["text"])).view(np.int64)
-        return pa.table({"h": pa.array(h), "bucket": pa.array((h % B + B) % B)})
+        h1 = hash64(batch["text"]).view(np.int64)
+        h2 = hash64(batch["text"], seed=0x5EED).view(np.int64)
+        order = np.argsort(h1, kind="stable")
+        h1, h2 = h1[order], h2[order]
+        keep = np.ones(len(h1), dtype=bool)
+        keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        h1, h2 = h1[keep], h2[keep]
+        return pa.table(
+            {"h": pa.array(h1), "h2": pa.array(h2), "bucket": pa.array((h1 % B + B) % B)}
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"d": [int(g["h"].nunique())]})
+        return pd.DataFrame({"d": [int(g.drop_duplicates(["h", "h2"]).shape[0])]})
 
     parts = (
         ds.map_batches(to_hashes, batch_format="pyarrow")
@@ -172,25 +189,41 @@ def distinct_text_count(sf_dir: str):
 DISTINCT_TEXT_SQL = "SELECT count(DISTINCT text) AS n_distinct FROM documents"
 
 
-def dedup_exact(sf_dir: str):
-    """Exact dedup: keep min doc_id per distinct text.
+def dedup_exact(sf_dir: str, num_buckets: int | None = None):
+    """Dedup: keep min doc_id per distinct text.
 
-    Hash-partitioned into B=32 coarse buckets (equal texts share a bucket),
-    each bucket deduped independently with a vectorized pandas groupby —
-    the same semantics as a per-hash shuffle with ~30x less shuffle-key
-    overhead.  At larger scale B grows so each bucket fits one task."""
+    Hash-partitioned into B coarse buckets (equal texts share a bucket, B
+    derived from input bytes per SCALE.md's ~1 GiB/bucket rule — results are
+    B-invariant), each bucket deduped independently with a vectorized pandas
+    groupby; per-batch pre-aggregation bounds shuffle rows at distincts per
+    batch.  Texts are keyed by a 128-bit (two independent 64-bit) hash: a
+    silent merge of two distinct texts needs a full 128-bit collision
+    (expected ~1.5e-15 colliding pairs at 10^12 docs) — shipping texts for
+    literal comparison would make the shuffle input-sized, so the 128-bit
+    key is the deliberate web-scale trade."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    B = 32
+    B = num_buckets or derive_buckets(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64(batch["text"]).view(np.int64)
-        return pa.table(
-            {"h": pa.array(h), "bucket": pa.array((h % B + B) % B), "doc_id": batch["doc_id"]}
+        h1 = hash64(batch["text"]).view(np.int64)
+        h2 = hash64(batch["text"], seed=0x5EED).view(np.int64)
+        t = pa.table(
+            {
+                "h": pa.array(h1),
+                "h2": pa.array(h2),
+                "bucket": pa.array((h1 % B + B) % B),
+                "doc_id": batch["doc_id"],
+            }
         )
+        # combiner: one row per distinct text per batch
+        g = t.group_by(["h", "h2", "bucket"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return g.rename_columns(["h", "h2", "bucket", "doc_id_min", "doc_id_count"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        out = g.groupby(["h", "h2"], as_index=False, sort=False).agg(
+            doc_id=("doc_id_min", "min"), dup_count=("doc_id_count", "sum")
         )
         return out[["doc_id", "dup_count"]]
 
@@ -543,17 +576,18 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-def sessionize(sf_dir: str):
+def sessionize(sf_dir: str, num_buckets: int | None = None):
     """Gap-based session windows (30-min inactivity) per user — the
     streaming-shaped operator: partition by key, order by ts within the
     group, stateful windowing inside ``groupby().map_groups`` (ordering
     assumption: per-group sort on (ts, event_id), documented tie-break)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    B = num_buckets or derive_buckets(ds)  # power of two → mask assignment
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # co-locate each user's events while keeping the shuffle coarse:
-        # 32 hash buckets instead of one ray-level group per user
-        b = pc.bit_wise_and(batch["user_id"], pa.scalar(31, pa.int64()))
+        # B size-derived hash buckets instead of one ray-level group per user
+        b = pc.bit_wise_and(batch["user_id"], pa.scalar(B - 1, pa.int64()))
         return batch.append_column("bucket", pc.cast(b, pa.int32()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -611,37 +645,87 @@ FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
 
-def asof_join_orders(sf_dir: str):
+def asof_join_orders(sf_dir: str, num_buckets: int | None = None):
     """As-of join: each event matched to the user's latest order with
-    o_orderdate <= ts (broadcast small side + pd.merge_asof per batch; ties
-    on equal o_orderdate broken by max o_orderkey)."""
-    orders = read_table_arrow(
+    o_orderdate <= ts (ties on equal o_orderdate broken by max o_orderkey).
+
+    Co-partitioned, not broadcast: BOTH sides are hash-bucketed on the user
+    key (``hash(user) % B``, B size-derived) into one unioned dataset, and
+    each bucket group runs a single vectorized ``pd.merge_asof`` over its
+    events+orders slice.  Neither side is materialized on the driver —
+    ``orders`` is fact-sized, so the r1 broadcast design was a driver/object
+    -store OOM at 100x (VERDICT item 1); here every row moves exactly once
+    through the bucket shuffle."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
-    ).to_pandas()
-    orders = orders.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
-    ref = ray.put(orders)
+    )
+    B = num_buckets or derive_buckets(
+        size_bytes=(ev.size_bytes() or 0) + (orders.size_bytes() or 0)
+    )
 
-    class AsOf:
-        def __init__(self):
-            self.orders = ray.get(ref)
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        b = (hash64(batch["user_id"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"].cast(pa.timestamp("us")),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ev = batch.to_pandas().sort_values("ts")
-            joined = pd.merge_asof(
-                ev,
-                self.orders,
-                left_on="ts",
-                right_on="o_orderdate",
-                left_by="user_id",
-                right_by="o_custkey",
-                direction="backward",
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        b = (hash64(batch["o_custkey"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "side": pa.array(np.ones(n, np.int8)),
+                "event_id": pa.nulls(n, pa.int64()),
+                "user_id": batch["o_custkey"],
+                "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        evg = g[g["side"] == 0].sort_values("ts", kind="mergesort")
+        og = g[g["side"] == 1].sort_values(["ts", "o_orderkey"], kind="mergesort")
+        if not len(evg) or not len(og):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="float64"),
+                    "o_totalprice": pd.Series(dtype="float64"),
+                }
             )
-            joined = joined.dropna(subset=["o_orderkey"])
-            return joined[["event_id", "user_id", "o_orderkey", "o_totalprice"]]
+        joined = pd.merge_asof(
+            evg[["event_id", "user_id", "ts"]],
+            og[["user_id", "ts", "o_orderkey", "o_totalprice"]],
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        joined = joined.dropna(subset=["o_orderkey"])
+        return joined[["event_id", "user_id", "o_orderkey", "o_totalprice"]]
 
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    df = ds.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    df = (
+        ev.map_batches(tag_events, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
     return df.sort_values("event_id").reset_index(drop=True)
 
 

@@ -85,9 +85,15 @@ class MisraGries(Sketch):
         return self
 
     def heavy_hitters(self, min_fraction: float = 0.0) -> list[tuple[str, int]]:
-        """(key, estimate) sorted by estimate desc, key asc; every key with
-        true frequency > n*max(min_fraction, 1/(k+1)) is guaranteed listed."""
-        thresh = min_fraction * self._n
+        """(key, estimate) sorted by estimate desc, key asc.
+
+        Guarantee: every key with true frequency > n*max(min_fraction, 1/(k+1))
+        is listed.  Estimates undercount by up to n/(k+1), so the filter
+        threshold is ``min_fraction*n - error_bound`` — keys whose TRUE count
+        clears the fraction always survive, at the cost of possibly listing
+        keys up to one error bound below it (no false negatives, some false
+        positives — the standard MG trade)."""
+        thresh = min_fraction * self._n - self.error_bound if min_fraction > 0 else 0.0
         out = [(k, c) for k, c in self.counters.items() if c >= thresh]
         return sorted(out, key=lambda kv: (-kv[1], kv[0]))
 

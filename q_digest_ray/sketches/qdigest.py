@@ -373,7 +373,11 @@ class QDigest(Sketch):
                 np.empty(0, np.int64), np.empty(0, np.int64), a[order], c[order]
             )
         q._n = int(q._counts.sum()) if len(q._counts) else 0
-        assert q._n == n or n == 0, "serialized N inconsistent with node counts"
+        if q._n != n and n != 0:
+            raise ValueError(
+                f"corrupt QDigest text: serialized N={n} inconsistent with "
+                f"summed bucket counts {q._n}"
+            )
         return q
 
     def __repr__(self) -> str:

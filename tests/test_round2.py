@@ -1,0 +1,238 @@
+"""Round-2 regression tests: ADVICE.md fixes (hash null/float32 layout
+invariance, Misra-Gries threshold guarantee, QDigest ValueError) and
+VERDICT.md items (size-derived bucket counts with B-invariant results,
+distributed Jaccard verification, degenerate LSH buckets, bucketed as-of
+join)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from q_digest_ray.functions.hashing import hash64
+from q_digest_ray.sketches.misra_gries import MisraGries
+from q_digest_ray.sketches.qdigest import QDigest
+from q_digest_ray.stages.partitioning import derive_buckets, pool_limits
+
+
+# ---------------------------------------------------------------------------
+# hashing: batch-layout / dtype invariance (ADVICE items 1-2)
+# ---------------------------------------------------------------------------
+
+
+def test_hash64_nullable_int_layout_invariant():
+    with_nulls = pa.array([5, 7, None, 9], type=pa.int64())
+    without = pa.array([5, 7, 9], type=pa.int64())
+    hw, ho = hash64(with_nulls), hash64(without)
+    assert hw[0] == ho[0] and hw[1] == ho[1] and hw[3] == ho[2]
+    # null sentinel is stable and distinct
+    assert hw[2] == hash64(pa.array([None], type=pa.int64()))[0]
+
+
+@pytest.mark.parametrize("t", [pa.int8(), pa.int16(), pa.int32(), pa.uint16(), pa.uint32()])
+def test_hash64_small_ints_match_int64(t):
+    vals = [0, 1, 100, 127]
+    assert (hash64(pa.array(vals, type=t)) == hash64(pa.array(vals, type=pa.int64()))).all()
+
+
+def test_hash64_float32_bit_pattern():
+    f32 = pa.array([1.5, 1.7, -2.25, 0.0], type=pa.float32())
+    h = hash64(f32)
+    assert h[0] != h[1]  # r1 bug: value truncation made 1.5 and 1.7 collide
+    # matches the numpy float32 path exactly
+    assert (h == hash64(np.array([1.5, 1.7, -2.25, 0.0], dtype=np.float32))).all()
+    # exactly-representable values match the float64 hash
+    h64 = hash64(pa.array([1.5, -2.25], type=pa.float64()))
+    assert h[0] == h64[0] and h[2] == h64[1]
+    # nullable float32 keeps non-null hashes stable
+    assert hash64(pa.array([1.5, None], type=pa.float32()))[0] == h[0]
+
+
+def test_hash64_bool_and_uint64():
+    assert hash64(pa.array([True]))[0] == hash64(pa.array([1], type=pa.int64()))[0]
+    big = 2**63 + 17
+    assert hash64(pa.array([big], type=pa.uint64()))[0] == hash64(
+        np.array([big], dtype=np.uint64)
+    )[0]
+
+
+# ---------------------------------------------------------------------------
+# sketches: MG threshold, QDigest ValueError (ADVICE items 4-5)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_heavy_hitters_no_false_negatives_with_min_fraction():
+    # key "hot" has true frequency just above n*min_fraction; with k small
+    # its estimate undercounts — the filter must still keep it
+    k = 4
+    mg = MisraGries(k=k)
+    stream = ["hot"] * 26 + [f"x{i}" for i in range(74)]
+    mg.update_batch(np.array(stream))
+    n = mg.n
+    assert n == 100
+    true_frac = 26 / 100
+    got = dict(mg.heavy_hitters(min_fraction=0.25))
+    assert "hot" in got, "true freq 0.26 > 0.25 must be listed despite undercount"
+    # estimate may undercount but never overcounts
+    assert got["hot"] <= 26
+
+
+def test_qdigest_from_text_corrupt_raises_valueerror():
+    q = QDigest(k=16, universe_bits=8)
+    q.update_batch(np.arange(100))
+    txt = q.to_text()
+    lines = txt.split("\n")
+    head = lines[0].split()
+    head[0] = str(int(head[0]) + 5)  # corrupt N
+    bad = "\n".join([" ".join(head)] + lines[1:])
+    with pytest.raises(ValueError):
+        QDigest.from_text(bad)
+
+
+# ---------------------------------------------------------------------------
+# partitioning: derive_buckets / pool_limits
+# ---------------------------------------------------------------------------
+
+
+def test_derive_buckets_scales_with_size():
+    assert derive_buckets(size_bytes=0) == 8
+    assert derive_buckets(size_bytes=10 << 30) == 16
+    assert derive_buckets(size_bytes=100 << 40) >= 1 << 17 or derive_buckets(
+        size_bytes=100 << 40
+    ) == 1 << 17  # clamped at max
+    b = derive_buckets(size_bytes=37 << 30)
+    assert b & (b - 1) == 0  # power of two
+
+
+def test_pool_limits_sized_to_cluster(ray_session):
+    lo, hi = pool_limits()
+    assert lo == 1 and hi >= 2
+    assert pool_limits(cap=2)[1] == 2
+
+
+# ---------------------------------------------------------------------------
+# B-invariance of bucketed operators (VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("B", [8, 32, 128])
+def test_bucketed_queries_b_invariant(ray_session, sf_dir, B):
+    from q_digest_ray.pipelines.queries import (
+        asof_join_orders,
+        dedup_exact,
+        distinct_text_count,
+        sessionize,
+    )
+
+    base = {
+        "dedup": dedup_exact(sf_dir, num_buckets=32),
+        "distinct": distinct_text_count(sf_dir, num_buckets=32),
+        "sessionize": sessionize(sf_dir, num_buckets=32),
+        "asof": asof_join_orders(sf_dir, num_buckets=32),
+    }
+    got = {
+        "dedup": dedup_exact(sf_dir, num_buckets=B),
+        "distinct": distinct_text_count(sf_dir, num_buckets=B),
+        "sessionize": sessionize(sf_dir, num_buckets=B),
+        "asof": asof_join_orders(sf_dir, num_buckets=B),
+    }
+    for name in base:
+        pd.testing.assert_frame_equal(
+            base[name].reset_index(drop=True), got[name].reset_index(drop=True)
+        )
+
+
+# ---------------------------------------------------------------------------
+# distributed Jaccard verification (VERDICT items 1-3)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_pairs_vectorized_matches_definition():
+    from q_digest_ray.stages.dedup import jaccard_pairs, shingle_hashes
+
+    a = ["the quick brown fox jumps over the lazy dog", "a b c d e", "", "x y"]
+    b = ["the quick brown fox jumps over a lazy dog", "a b c d e", "", "x y z"]
+    got = jaccard_pairs(a, b, w=3)
+
+    for i in range(len(a)):
+        sh_a, off_a = shingle_hashes(pa.array([a[i]]), w=3)
+        sh_b, off_b = shingle_hashes(pa.array([b[i]]), w=3)
+        sa, sb = set(sh_a.tolist()), set(sh_b.tolist())
+        exp = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+        assert abs(got[i] - exp) < 1e-12, i
+
+
+def test_jaccard_verify_distributed(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import jaccard_verify
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype="int64"),
+            "text": [f"unique words document number {i} alpha beta gamma" for i in range(20)],
+        }
+    )
+    docs.loc[7, "text"] = docs.loc[3, "text"]  # exact dup pair (3, 7)
+    corpus = ray.data.from_pandas(docs)
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": [3, 1], "b": [7, 2]}).astype("int64")
+    )
+    out = (
+        jaccard_verify(pairs, corpus, "doc_id", "text", w=3)
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[out["a"] == 3, "jaccard"].iloc[0] == 1.0
+    assert out.loc[out["a"] == 1, "jaccard"].iloc[0] < 0.5
+
+
+def test_minhash_degenerate_corpus_bounded(ray_session):
+    """1k identical short docs: the r1 quadratic pair emission would create
+    ~500k pairs from one band bucket; the chain fallback emits O(m) and the
+    group is still fully connected."""
+    import time
+
+    import ray.data
+
+    from q_digest_ray.stages.dedup import minhash_dup_groups
+
+    n = 1000
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype="int64"), "text": ["tiny doc same words"] * n}
+    )
+    t0 = time.time()
+    out = minhash_dup_groups(
+        ray.data.from_pandas(docs), "doc_id", "text", max_bucket=64
+    )
+    elapsed = time.time() - t0
+    assert len(out) == n, "all identical docs must be grouped"
+    assert out["group_id"].nunique() == 1, "single connected group"
+    assert (out["jaccard_to_root"] == 1.0).all()
+    assert elapsed < 120, f"degenerate corpus took {elapsed:.1f}s"
+
+
+def test_minhash_dup_groups_still_finds_planted_dups(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import minhash_dup_groups
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(60)]
+    # plant near-dups: copy with one word changed
+    for src, dst in [(0, 50), (1, 51), (2, 52)]:
+        toks = texts[src].split()
+        toks[5] = "CHANGED"
+        texts[dst] = " ".join(toks)
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"), "text": texts})
+    out = minhash_dup_groups(
+        ray.data.from_pandas(docs), "doc_id", "text", threshold=0.7
+    )
+    groups = {
+        tuple(sorted(g["doc_id"])) for _, g in out.groupby("group_id")
+    }
+    for pair in [(0, 50), (1, 51), (2, 52)]:
+        assert any(set(pair) <= set(g) for g in groups), pair

@@ -29,7 +29,7 @@ from q_digest_ray.sources.tables import read_table, read_table_arrow
 from q_digest_ray.stages.agg import two_phase
 from q_digest_ray.stages.build import SketchSpec, build_sketches
 from q_digest_ray.stages.merge import collect_sketches, merge_grouped
-from q_digest_ray.stages.partitioning import derive_buckets
+from q_digest_ray.stages.partitioning import derive_buckets, pool_limits
 
 # ---------------------------------------------------------------------------
 # exact queries
@@ -398,7 +398,7 @@ def order_revenue_by_nation(sf_dir: str):
             )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=pool_limits())
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_name", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
@@ -518,7 +518,7 @@ def ann_topk(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     top = (
-        ds.map_batches(CosTopK, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(CosTopK, batch_format="pyarrow", concurrency=pool_limits())
         .sort(["cos_sim", "vec_id"], descending=[True, False])
         .limit(10)
         .to_pandas()

@@ -66,17 +66,40 @@ class KLL(Sketch):
                 break
 
     def update_batch(self, values, weights=None) -> None:
+        """Append a batch; ``weights`` (non-negative ints) replicate each
+        value, matching the reference's weighted insert(key, count)
+        (src/qcore.c:201).  A weight w is decomposed into its binary digits
+        and the value inserted once at each set-bit level h — items at level
+        h carry weight 2**h, so total weight is exact and the cost per row
+        is O(log w) appends instead of w."""
         vals = np.asarray(values, dtype=np.float64)
         if vals.size == 0:
             return
-        if np.isnan(vals).any():
-            vals = vals[~np.isnan(vals)]
-            if vals.size == 0:
-                return
-        if weights is not None:
-            raise NotImplementedError("KLL supports unweighted streams")
-        self._levels[0] = np.concatenate([self._levels[0], vals])
-        self._n += int(vals.size)
+        if weights is None:
+            if np.isnan(vals).any():
+                vals = vals[~np.isnan(vals)]
+                if vals.size == 0:
+                    return
+            self._levels[0] = np.concatenate([self._levels[0], vals])
+            self._n += int(vals.size)
+            self._compact()
+            return
+        w = np.asarray(weights, dtype=np.int64)
+        if w.shape != vals.shape:
+            raise ValueError("weights must align with values")
+        if w.size and w.min() < 0:
+            raise ValueError("weights must be non-negative")
+        keep = ~np.isnan(vals) & (w > 0)
+        vals, w = vals[keep], w[keep]
+        if vals.size == 0:
+            return
+        for h in range(int(w.max()).bit_length()):
+            sel = vals[((w >> np.int64(h)) & np.int64(1)) == 1]
+            if sel.size:
+                while len(self._levels) <= h:
+                    self._levels.append(np.empty(0, dtype=np.float64))
+                self._levels[h] = np.concatenate([self._levels[h], sel])
+        self._n += int(w.sum())
         self._compact()
 
     def merge(self, other: "KLL") -> "KLL":

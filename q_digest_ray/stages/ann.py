@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray
 
+from q_digest_ray.stages.partitioning import pool_limits
+
 
 def _matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -53,7 +55,7 @@ def brute_force_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 
             return t
 
     out = (
-        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_limits())
         .sort(["cos_sim", id_col], descending=[True, False])
         .limit(k)
         .to_pandas()
@@ -122,7 +124,7 @@ def lsh_topk(
                 }
             )
 
-    df = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    df = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_limits()).to_pandas()
     if df.empty:
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     scanned = int(df["scanned"].sum()) if len(df) else 0

@@ -20,8 +20,10 @@ is unnecessary for sketch rows — mergeability already collapsed the data).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from q_digest_ray.sketches.base import sketch_from_bytes
 
@@ -35,24 +37,58 @@ def _merge_payload_group(kind: str, payloads) -> bytes:
 
 
 def combine_sketch_rows(batch: pa.Table) -> pa.Table:
-    """Partial (combiner) merge of sketch rows within one block."""
+    """Partial (combiner) merge of sketch rows within one block.
+
+    Arrow-native grouping: dictionary-encode the key triple into one int
+    code, argsort, walk group boundaries — binary payloads are only pulled
+    out of Arrow for the groups that actually merge (>1 row), instead of
+    the r1 ``to_pandas`` which copied every payload into object dtype."""
     if batch.num_rows <= 1:
         return batch
-    df = batch.to_pandas()
-    out = []
-    for (metric, kind, key), g in df.groupby(
-        ["metric", "sketch", "group_key"], sort=False
-    ):
-        out.append(
-            {
-                "metric": metric,
-                "sketch": kind,
-                "group_key": key,
-                "payload": _merge_payload_group(kind, g["payload"]),
-                "n": int(g["n"].sum()),
-            }
-        )
-    return pa.Table.from_pylist(out, schema=batch.schema)
+    comp = np.zeros(batch.num_rows, dtype=np.int64)
+    for name in ("metric", "sketch", "group_key"):
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        comp = comp * np.int64(len(d.dictionary) + 1) + d.indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    order = np.argsort(comp, kind="stable")
+    sc = comp[order]
+    new_grp = np.ones(len(order), dtype=bool)
+    new_grp[1:] = sc[1:] != sc[:-1]
+    starts = np.flatnonzero(new_grp)
+    if len(starts) == batch.num_rows:
+        return batch  # every row its own group — nothing to merge
+    ends = np.append(starts[1:], len(order))
+    n_sorted = batch["n"].to_numpy(zero_copy_only=False)[order]
+    n_sums = np.add.reduceat(n_sorted, starts)
+    reps = order[starts]
+    merged: list[bytes | None] = []
+    for s, e in zip(starts, ends):
+        if e - s == 1:
+            merged.append(None)  # singleton: keep the rep row's payload
+        else:
+            idxs = pa.array(order[s:e], type=pa.int64())
+            kind = batch["sketch"].take(idxs)[0].as_py()
+            merged.append(
+                _merge_payload_group(kind, batch["payload"].take(idxs).to_pylist())
+            )
+    rep_tbl = batch.take(pa.array(reps, type=pa.int64()))
+    base = rep_tbl["payload"].to_pylist()
+    payload = pa.array(
+        [b if m is None else m for b, m in zip(base, merged)],
+        type=batch.schema.field("payload").type,
+    )
+    rep_tbl = rep_tbl.set_column(
+        rep_tbl.schema.get_field_index("payload"), "payload", payload
+    )
+    return rep_tbl.set_column(
+        rep_tbl.schema.get_field_index("n"),
+        "n",
+        pa.array(n_sums, type=batch.schema.field("n").type),
+    )
 
 
 def _merge_group_df(g: pd.DataFrame) -> pd.DataFrame:
@@ -84,19 +120,36 @@ def _combine_df(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["metric", "sketch", "group_key", "payload", "n"])
 
 
-def merge_grouped(sketch_rows_ds, shuffle: bool = False, fold_rounds: int = 0):
+def merge_grouped(
+    sketch_rows_ds, shuffle: bool = False, fold_rounds: int | None = None
+):
     """Dataset of sketch rows → Dataset with one row per (metric, group).
 
     Default (tree-fold) path: combine rows per block, then coalesce and run
     one final combine task — the log-depth fold the reference's
     TreeAllreduce intended, expressed as data movement.  Valid because the
-    combiner bounds the final input at num_blocks x groups tiny rows; add
-    ``fold_rounds`` when block counts reach the hundreds of thousands.
+    combiner bounds the final input at num_blocks x groups tiny rows.
+
+    ``fold_rounds=None`` (default) auto-derives the intermediate rounds from
+    the plan's block count so the final combine task never sees more than
+    ~512 combined blocks: 0 rounds below that, one 8x coalesce round per
+    factor of 8 above it (a 1M-block input gets 4 rounds).  Pass an int to
+    override.
 
     ``shuffle=True`` switches to a hash groupby on the key triple — the
     right shape only when group cardinality itself is huge (e.g. per-host
     sketches over millions of hosts).
     """
+    nb = 0
+    try:
+        nb = int(sketch_rows_ds._plan.initial_num_blocks())
+    except Exception:
+        pass
+    if fold_rounds is None:
+        fold_rounds, t = 0, nb
+        while t > 512:
+            t //= 8
+            fold_rounds += 1
     ds = sketch_rows_ds.map_batches(
         combine_sketch_rows, batch_format="pyarrow", batch_size=4096
     )
@@ -104,8 +157,10 @@ def merge_grouped(sketch_rows_ds, shuffle: bool = False, fold_rounds: int = 0):
         return ds.groupby(["metric", "sketch", "group_key"]).map_groups(
             _merge_group_df, batch_format="pandas"
         )
+    target = nb
     for _ in range(fold_rounds):
-        ds = ds.repartition(8).map_batches(
+        target = max(8, target // 8)
+        ds = ds.repartition(target).map_batches(
             _combine_df, batch_format="pandas", batch_size=None
         )
     return ds.repartition(1).map_batches(

@@ -1,11 +1,11 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The decode step itself is STUBBED — this container has no image/audio
-libraries (PIL/cv2/torchaudio all absent); importing them is gated and the
-default "decoder" is either a clearly-marked NotImplementedError or a
-deterministic fake (hash-derived pixels/features) so the Ray-side plumbing
-— schema, actor-pool signature, batch sizing, output layout — is real and
-tested end-to-end.
+Image decode is REAL when PIL is importable (``ImageDecodeStage`` decodes,
+converts to RGB and resizes — tested by a skipped-unless-PIL test); in this
+container (no PIL/cv2/torchaudio) each stage falls back to a clearly-marked
+deterministic fake (hash-derived pixels/features), or raises when
+``strict=True``, so the Ray-side plumbing — schema, actor-pool signature,
+batch sizing, output layout — is real and tested end-to-end either way.
 
 Media table schema:
     media_id: int64, media: binary, media_type: string ("image"|"audio"|
@@ -77,30 +77,63 @@ def _fake_features(blobs: pa.Array, dim: int, seed: int) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """Actor-pool stage: image binary → 192-dim feature row.
+    """Actor-pool stage: image binary → 192-dim feature row (3x8x8 RGB).
 
-    With a real imaging lib this would decode + resize to 8x8 RGB; here the
-    decode is a deterministic fake (STUB) unless ``strict=True``, which
-    raises NotImplementedError to make the missing dependency explicit.
-    """
+    REAL decode when PIL is importable (``HAS_PIL``): decode → RGB →
+    bilinear resize to 8x8 → channel-major [0, 1] floats.  Without PIL the
+    stage falls back to a deterministic fake (hash-derived features) so the
+    Ray plumbing stays testable in lib-less containers; ``strict=True``
+    raises instead of faking — NotImplementedError when PIL is absent,
+    ValueError on an undecodable blob when it is present."""
 
     FEATURE_DIM = 3 * 8 * 8
 
-    def __init__(self, strict: bool = False):
-        # strict always raises: no real decoder exists in this codebase even
-        # when an imaging lib happens to be importable
+    def __init__(self, strict: bool = False, use_real: bool | None = None):
         self.strict = strict
+        self.use_real = HAS_PIL if use_real is None else use_real
+
+    @staticmethod
+    def _decode_real(blob: bytes) -> "np.ndarray | None":
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(blob)) as im:
+                im = im.convert("RGB").resize((8, 8), Image.BILINEAR)
+                arr = np.asarray(im, dtype=np.float64)  # (8, 8, 3)
+                return arr.transpose(2, 0, 1).reshape(-1) / 255.0
+        except Exception:
+            return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode is STUBBED (no real decoder implemented; "
-                "imaging libs absent in this environment) — use "
-                "strict=False for the deterministic fake decoder"
-            )
         mask = pa.compute.equal(batch["media_type"], pa.scalar("image"))
         t = batch.filter(mask)
-        feats = _fake_features(t["media"].combine_chunks(), self.FEATURE_DIM, seed=101)
+        blobs = t["media"].combine_chunks()
+        if self.use_real and HAS_PIL:
+            fallback = None
+            feats = []
+            for i in range(len(blobs)):
+                f = self._decode_real(blobs[i].as_py())
+                if f is None:
+                    if self.strict:
+                        raise ValueError(
+                            f"undecodable image blob media_id="
+                            f"{t['media_id'][i].as_py()}"
+                        )
+                    if fallback is None:
+                        fallback = _fake_features(blobs, self.FEATURE_DIM, seed=101)
+                    f = fallback[i]
+                feats.append(f)
+            feats = np.stack(feats) if feats else np.zeros((0, self.FEATURE_DIM))
+        elif self.strict:
+            raise NotImplementedError(
+                "image decode requires PIL, which is absent in this "
+                "environment — use strict=False for the deterministic "
+                "fake decoder"
+            )
+        else:
+            feats = _fake_features(blobs, self.FEATURE_DIM, seed=101)
         return pa.table(
             {
                 "media_id": t["media_id"],
@@ -162,9 +195,15 @@ class FrameSampleStage:
         )
 
 
-def media_feature_pipeline(ds, batch_size: int = 256, concurrency=(1, 4)):
+def media_feature_pipeline(ds, batch_size: int = 256, concurrency=None):
     """Full plumbing: decode images + audio features in one pass each,
-    union the feature rows (the shape a real multimodal pipeline uses)."""
+    union the feature rows (the shape a real multimodal pipeline uses).
+    Small batches (binary payloads dominate memory) x a cluster-sized actor
+    pool (``pool_limits``) keeps batch x pool inside the worker heap."""
+    from q_digest_ray.stages.partitioning import pool_limits
+
+    if concurrency is None:
+        concurrency = pool_limits()
     imgs = ds.map_batches(
         ImageDecodeStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )

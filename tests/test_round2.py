@@ -236,3 +236,182 @@ def test_minhash_dup_groups_still_finds_planted_dups(ray_session):
     }
     for pair in [(0, 50), (1, 51), (2, 52)]:
         assert any(set(pair) <= set(g) for g in groups), pair
+
+
+# ---------------------------------------------------------------------------
+# weighted quantile sketches (VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_kll_weighted_matches_replicated():
+    from q_digest_ray.sketches.kll import KLL
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=400)
+    wts = rng.integers(1, 9, size=400)
+    a = KLL(k=200, seed=3)
+    a.update_batch(vals, weights=wts)
+    b = KLL(k=200, seed=3)
+    b.update_batch(np.repeat(vals, wts))
+    assert a.n == b.n == int(wts.sum())
+    # both must satisfy the rank bound vs the true weighted stream
+    full = np.sort(np.repeat(vals, wts))
+    for p in (0.1, 0.5, 0.9, 0.99):
+        for sk in (a, b):
+            q = sk.quantile(p)
+            true_rank = np.searchsorted(full, q, side="right") / len(full)
+            assert abs(true_rank - p) < 0.08, (p, q, true_rank)
+
+
+def test_kll_weighted_validation():
+    from q_digest_ray.sketches.kll import KLL
+
+    s = KLL()
+    with pytest.raises(ValueError):
+        s.update_batch(np.array([1.0, 2.0]), weights=np.array([1, -1]))
+    # zero weights and NaNs are dropped
+    s.update_batch(np.array([1.0, np.nan, 3.0]), weights=np.array([0, 5, 2]))
+    assert s.n == 2
+
+
+def test_tdigest_weighted_matches_replicated():
+    from q_digest_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(12)
+    vals = rng.exponential(size=300)
+    wts = rng.integers(1, 6, size=300)
+    a = TDigest()
+    a.update_batch(vals, weights=wts.astype(float))
+    full = np.sort(np.repeat(vals, wts))
+    for p in (0.5, 0.9, 0.99):
+        q = a.quantile(p)
+        true_rank = np.searchsorted(full, q, side="right") / len(full)
+        assert abs(true_rank - p) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# merge: Arrow-native combiner + auto fold rounds (VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_combine_sketch_rows_arrow_native():
+    from q_digest_ray.sketches.qdigest import QDigest
+    from q_digest_ray.stages.merge import combine_sketch_rows
+
+    rows = []
+    expected_n = {}
+    for key in ("en", "de", "fr"):
+        for part in range(3):
+            q = QDigest(k=32, universe_bits=16)
+            q.update_batch(np.arange(part * 50, part * 50 + 50))
+            rows.append(
+                {
+                    "metric": "m",
+                    "sketch": "qdigest",
+                    "group_key": key,
+                    "payload": q.to_bytes(),
+                    "n": 50,
+                }
+            )
+            expected_n[key] = expected_n.get(key, 0) + 50
+    # add a singleton group to exercise the keep-rep fast path
+    q = QDigest(k=32, universe_bits=16)
+    q.update_batch(np.arange(7))
+    rows.append(
+        {"metric": "m2", "sketch": "qdigest", "group_key": "", "payload": q.to_bytes(), "n": 7}
+    )
+    batch = pa.Table.from_pylist(rows)
+    out = combine_sketch_rows(batch)
+    assert out.num_rows == 4
+    got = {r["group_key"]: r["n"] for r in out.to_pylist() if r["metric"] == "m"}
+    assert got == expected_n
+    # merged payload decodes and holds the combined count
+    from q_digest_ray.sketches.base import sketch_from_bytes
+
+    for r in out.to_pylist():
+        sk = sketch_from_bytes(r["sketch"], r["payload"])
+        assert sk.n == r["n"]
+
+
+def test_combine_sketch_rows_all_singletons_passthrough():
+    from q_digest_ray.sketches.hll import HyperLogLog as HLL
+    from q_digest_ray.stages.merge import combine_sketch_rows
+
+    rows = []
+    for i in range(5):
+        h = HLL()
+        h.update_batch(np.array([i], dtype=np.int64))
+        rows.append(
+            {"metric": f"m{i}", "sketch": "hll", "group_key": "", "payload": h.to_bytes(), "n": 1}
+        )
+    batch = pa.Table.from_pylist(rows)
+    out = combine_sketch_rows(batch)
+    assert out.num_rows == 5
+
+
+def test_merge_grouped_auto_fold_matches_explicit(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.build import SketchSpec, build_sketches
+    from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+
+    df = pd.DataFrame({"v": np.arange(2000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    specs = [SketchSpec("q", "v", "qdigest", params={"k": 64, "universe_bits": 16})]
+    rows = build_sketches(ds, specs, batch_size=128)
+    auto = collect_sketches(merge_grouped(rows))[("q", "")]
+    rows2 = build_sketches(ds, specs, batch_size=128)
+    manual = collect_sketches(merge_grouped(rows2, fold_rounds=2))[("q", "")]
+    assert auto.n == manual.n == 2000
+    for p in (0.25, 0.5, 0.9):
+        assert abs(auto.quantile(p) - manual.quantile(p)) <= 2000 * 0.1
+
+
+# ---------------------------------------------------------------------------
+# multimodal: real decode path (VERDICT item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_image_decode_real_path_when_pil_present():
+    from q_digest_ray.stages.multimodal import HAS_PIL, ImageDecodeStage
+
+    if not HAS_PIL:
+        pytest.skip("PIL absent in this container — real-decode path gated")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (255, 0, 0)).save(buf, format="PNG")
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([buf.getvalue()], pa.binary()),
+            "media_type": pa.array(["image"]),
+        }
+    )
+    out = ImageDecodeStage(strict=True)(batch)
+    feats = np.array(out["features"][0].as_py())
+    assert len(feats) == 192
+    # solid red: R channel ~1, G/B ~0
+    assert feats[:64].mean() > 0.95 and feats[64:].mean() < 0.05
+
+
+def test_image_decode_fake_fallback_without_pil():
+    from q_digest_ray.stages.multimodal import HAS_PIL, ImageDecodeStage
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([b"notanimage"], pa.binary()),
+            "media_type": pa.array(["image"]),
+        }
+    )
+    if HAS_PIL:
+        with pytest.raises(ValueError):
+            ImageDecodeStage(strict=True)(batch)
+    else:
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage(strict=True)(batch)
+    out = ImageDecodeStage(strict=False)(batch)
+    assert out.num_rows == 1 and len(out["features"][0].as_py()) == 192

@@ -1177,6 +1177,81 @@ def sk_bloom_membership(sf_dir: str):
     )
 
 
+def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):
+    """Large-large join through ``stages/join.bucketed_join``: customer x
+    orders co-partitioned on the customer key (neither side broadcast or
+    driver-materialized — the shuffle moves each row once into hash
+    buckets, B size-derived), then a two-phase per-nation aggregate over
+    the joined rows."""
+    from q_digest_ray.stages.agg import two_phase_pandas
+    from q_digest_ray.stages.join import bucketed_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    B = num_buckets or derive_buckets(
+        size_bytes=(cust.size_bytes() or 0) + (orders.size_bytes() or 0)
+    )
+    joined = bucketed_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", num_buckets=B
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_nationkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+        )
+        g["revenue"] = g["revenue"].round(2)
+        g["n_orders"] = g["n_orders"].astype("int64")
+        # join-side null padding upcasts the key to float64 — restore int
+        g["c_nationkey"] = g["c_nationkey"].astype("int64")
+        return g
+
+    df = two_phase_pandas(joined, partial, final, batch_size=None).to_pandas()
+    return df.sort_values("c_nationkey").reset_index(drop=True)
+
+
+CUSTOMER_NATION_REVENUE_SQL = """
+SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def sk_kll_weighted_nchars(sf_dir: str):
+    """Weighted KLL quantiles of n_chars fed as per-batch (value, count)
+    histograms — the reference's weighted insert(key, count) semantics
+    (src/qcore.c:201) end to end: each batch pre-aggregates with Arrow
+    value_counts, the builder does ONE weighted update per block via
+    ``SketchSpec(weight_column=...)``, and the distributed merge is
+    unchanged.  Estimates carry the same KLL rank guarantee as the
+    unweighted stream (asserted in tests/test_round2.py)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        vc = batch["n_chars"].value_counts()
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.int64()),
+                "w": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = ds.map_batches(to_hist, batch_format="pyarrow")
+    rows = build_sketches(
+        hist, [SketchSpec("nchars_kll_w", "v", "kll", {"k": 256}, weight_column="w")]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("nchars_kll_w", "")]
+    ps = [0.5, 0.9, 0.99]
+    return pd.DataFrame(
+        {"p": ps, "value": [round(float(sk.quantile(p)), 1) for p in ps], "n": int(sk.n)}
+    )
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -1197,6 +1272,7 @@ EXACT_QUERIES = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
+    "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
 }
 
 SKETCH_QUERIES = {
@@ -1211,6 +1287,7 @@ SKETCH_QUERIES = {
     "sk_qdigest_nchars_by_lang": sk_qdigest_nchars_by_lang,
     "sk_tdigest_event_values": sk_tdigest_event_values,
     "sk_kll_nchars": sk_kll_nchars,
+    "sk_kll_weighted_nchars": sk_kll_weighted_nchars,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,

@@ -58,19 +58,39 @@ class MisraGries(Sketch):
         }
 
     def update_batch(self, values, weights=None) -> None:
-        if isinstance(values, pa.ChunkedArray):
-            values = values.combine_chunks()
-        if isinstance(values, pa.Array):
-            vc = values.value_counts()
-            keys = vc.field("values").to_pylist()
-            counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        else:
-            arr = np.asarray(values)
-            uk, counts = np.unique(arr, return_counts=True)
-            keys = uk.tolist()
+        """``weights`` (non-negative ints) replicate each value — the
+        reference's weighted insert(key, count); per-key weights are summed
+        vectorized before the dict merge."""
         if weights is not None:
-            raise NotImplementedError("MisraGries takes unweighted streams")
+            w = np.asarray(weights, dtype=np.int64)
+            if w.size and w.min() < 0:
+                raise ValueError("weights must be non-negative")
+            if isinstance(values, pa.ChunkedArray):
+                values = values.combine_chunks()
+            if isinstance(values, pa.Array):
+                if values.null_count:
+                    raise ValueError("null keys unsupported with weights")
+                enc = values.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                keys = enc.dictionary.to_pylist()
+            else:
+                uk, codes = np.unique(np.asarray(values), return_inverse=True)
+                keys = uk.tolist()
+            counts = np.bincount(codes, weights=w, minlength=len(keys)).astype(np.int64)
+        else:
+            if isinstance(values, pa.ChunkedArray):
+                values = values.combine_chunks()
+            if isinstance(values, pa.Array):
+                vc = values.value_counts()
+                keys = vc.field("values").to_pylist()
+                counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            else:
+                arr = np.asarray(values)
+                uk, counts = np.unique(arr, return_counts=True)
+                keys = uk.tolist()
         for key, c in zip(keys, counts):
+            if c <= 0:
+                continue
             key = str(key)
             self.counters[key] = self.counters.get(key, 0) + int(c)
         self._n += int(np.sum(counts))

@@ -73,6 +73,11 @@ class SketchSpec:
     params: dict = field(default_factory=dict)
     group_by: str | None = None  # group column (small cardinality) or None
     salt: int = 0
+    # weighted inserts (reference insert(key, count), src/qcore.c:201): each
+    # row's value counts weight_column times — the pre-aggregated-histogram
+    # path for qdigest/kll/tdigest/cms/mg (hashing sketches reject weights:
+    # distinctness/membership is weight-free)
+    weight_column: str | None = None
 
     def make(self):
         return _KINDS[self.kind](**self.params)
@@ -115,10 +120,20 @@ class SketchBuilder:
         for spec in self.specs:
             col = batch[spec.column]
             hashing = spec.kind in self._HASHING_KINDS
+            w_np = None
+            if spec.weight_column is not None:
+                if hashing:
+                    raise ValueError(
+                        f"{spec.kind} is a hashing sketch — weights undefined"
+                    )
+                wcol = batch[spec.weight_column]
+                w_np = wcol.to_numpy(zero_copy_only=False)
             if spec.group_by is None:
                 sk = spec.make()
                 if hashing:
                     sk.update_hashed(column_hashes(spec.column))
+                elif w_np is not None:
+                    sk.update_batch(_column_values(col, spec.kind), weights=w_np)
                 else:
                     sk.update_batch(_column_values(col, spec.kind))
                 metrics.append(spec.metric)
@@ -165,6 +180,8 @@ class SketchBuilder:
                     sk = spec.make()
                     if hashing:
                         sk.update_hashed(column_hashes(spec.column)[sel])
+                    elif w_np is not None:
+                        sk.update_batch(col_np[sel], weights=w_np[sel])
                     else:
                         sk.update_batch(col_np[sel])
                     metrics.append(spec.metric)

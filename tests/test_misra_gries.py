@@ -65,5 +65,6 @@ def test_serde_roundtrip():
     s2 = MisraGries.from_bytes(s.to_bytes())
     assert s2.counters == s.counters
     assert s2.n == s.n
-    with pytest.raises(NotImplementedError):
-        s.update_batch(pa.array(["x"]), weights=np.array([2]))
+    # weighted inserts supported since round 2 (reference insert(key, count))
+    s.update_batch(pa.array(["x"]), weights=np.array([2]))
+    assert s.estimate("x") == 4

@@ -415,3 +415,83 @@ def test_image_decode_fake_fallback_without_pil():
             ImageDecodeStage(strict=True)(batch)
     out = ImageDecodeStage(strict=False)(batch)
     assert out.num_rows == 1 and len(out["features"][0].as_py()) == 192
+
+
+# ---------------------------------------------------------------------------
+# weighted inserts as a first-class SketchSpec feature + new queries
+# ---------------------------------------------------------------------------
+
+
+def test_mg_weighted_matches_replicated():
+    rng = np.random.default_rng(5)
+    keys = rng.choice(["a", "b", "c", "d"], 200)
+    wts = rng.integers(1, 7, 200)
+    a = MisraGries(k=16)
+    a.update_batch(keys, weights=wts)
+    b = MisraGries(k=16)
+    b.update_batch(np.repeat(keys, wts))
+    assert a.n == b.n == int(wts.sum())
+    assert dict(a.heavy_hitters()) == dict(b.heavy_hitters())
+
+
+def test_sketchspec_weight_column(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.build import SketchSpec, build_sketches
+    from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 1000, 500)
+    wts = rng.integers(1, 10, 500)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": vals.astype("int64"), "w": wts.astype("int64")})
+    ).repartition(4)
+    rows = build_sketches(
+        ds, [SketchSpec("wq", "v", "kll", {"k": 256}, weight_column="w")], batch_size=128
+    )
+    sk = collect_sketches(merge_grouped(rows))[("wq", "")]
+    assert sk.n == int(wts.sum())
+    full = np.sort(np.repeat(vals, wts))
+    for p in (0.5, 0.9):
+        q = sk.quantile(p)
+        true_rank = np.searchsorted(full, q, side="right") / len(full)
+        assert abs(true_rank - p) < 0.05
+
+
+def test_sketchspec_weight_column_rejects_hashing():
+    from q_digest_ray.stages.build import SketchBuilder, SketchSpec
+
+    batch = pa.table({"v": pa.array([1, 2], pa.int64()), "w": pa.array([1, 1], pa.int64())})
+    builder = SketchBuilder([SketchSpec("x", "v", "hll", weight_column="w")])
+    with pytest.raises(ValueError):
+        builder(batch)
+
+
+def test_customer_nation_revenue_b_invariant(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import customer_nation_revenue
+
+    a = customer_nation_revenue(sf_dir, num_buckets=8)
+    b = customer_nation_revenue(sf_dir, num_buckets=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sk_kll_weighted_nchars_close_to_exact(ray_session, sf_dir):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import sk_kll_weighted_nchars
+
+    out = sk_kll_weighted_nchars(sf_dir)
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT quantile_disc(n_chars, [0.5, 0.9, 0.99]) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n = int(out["n"].iloc[0])
+    # KLL rank error at k=256 is well under 1.5% — check rank proximity
+    vals = con.execute(
+        f"SELECT n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()["n_chars"].to_numpy()
+    vals.sort()
+    for p, v in zip(out["p"], out["value"]):
+        true_rank = np.searchsorted(vals, v, side="right") / len(vals)
+        assert abs(true_rank - p) < 0.03, (p, v, true_rank)

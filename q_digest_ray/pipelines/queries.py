@@ -487,9 +487,11 @@ def ann_topk(sf_dir: str):
     """Brute-force cosine top-k over the embedding column: the query vector
     is broadcast once; each batch is one numpy matmul (the baseline ANN
     path; LSH-bucketed variant in stages/ann.py)."""
-    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qmask = pc.equal(emb["vec_id"], pa.scalar(0))
-    qvec = np.array(emb.filter(qmask)["embedding"].to_pylist()[0], dtype=np.float64)
+    # row-filtered driver read: only the query row's row group leaves storage
+    emb = read_table_arrow(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
+    )
+    qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
     qref = ray.put(qvec / np.linalg.norm(qvec))
 
     class CosTopK:
@@ -955,11 +957,10 @@ def embedding_near_dups(sf_dir: str):
 def ann_lsh_topk(sf_dir: str):
     from q_digest_ray.stages.ann import lsh_topk
 
-    emb = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qvec = np.array(
-        emb.filter(pc.equal(emb["vec_id"], pa.scalar(0)))["embedding"].to_pylist()[0],
-        dtype=np.float64,
+    emb = read_table_arrow(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
     )
+    qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def drop_query(batch: pa.Table) -> pa.Table:
@@ -973,6 +974,33 @@ def ann_lsh_topk(sf_dir: str):
         k=10,
         num_planes=8,
         probe_hamming=3,
+    )
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-k: coarse k-means centroids trained on a bounded
+    sample, then only the nprobe nearest inverted lists are scanned — the
+    partition-pruned ANN scale path (materialized-index variant with
+    per-centroid parquet partitions: stages/ann.build_ivf_index)."""
+    from q_digest_ray.stages.ann import ivf_topk
+
+    emb = read_table_arrow(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
+    )
+    qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["vec_id"], pa.scalar(0)))
+
+    return ivf_topk(
+        ds.map_batches(drop_query, batch_format="pyarrow"),
+        "vec_id",
+        "embedding",
+        qvec,
+        k=10,
+        num_centroids=32,
+        nprobe=8,
     )
 
 
@@ -1281,6 +1309,7 @@ SKETCH_QUERIES = {
     "simhash_pairs": simhash_pairs,
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,
     "sk_qdigest_nchars": sk_qdigest_nchars,

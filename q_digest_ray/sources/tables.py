@@ -29,8 +29,17 @@ def read_table(
     )
 
 
-def read_table_arrow(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Small-side table as a pyarrow Table (for broadcast joins)."""
+def read_table_arrow(
+    sf_dir: str, name: str, columns: list[str] | None = None, filters=None
+):
+    """Small-side table as a pyarrow Table (for broadcast joins).
+
+    ``filters`` (DNF, e.g. ``[("vec_id", "==", 0)]``) push row-group /
+    dictionary pruning into the parquet read — REQUIRED when fetching a few
+    rows from a fact-sized table (a filterless driver read of a big table
+    is a scale bug)."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filters=filters
+    )

@@ -495,3 +495,58 @@ def test_sk_kll_weighted_nchars_close_to_exact(ray_session, sf_dir):
     for p, v in zip(out["p"], out["value"]):
         true_rank = np.searchsorted(vals, v, side="right") / len(vals)
         assert abs(true_rank - p) < 0.03, (p, v, true_rank)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (scale path: partition-pruned scan)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=50, dim=16, seed=4):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5
+    vecs = np.concatenate(
+        [centers[c] + rng.normal(size=(per_cluster, dim)) * 0.3 for c in range(n_clusters)]
+    )
+    return vecs
+
+
+def test_ivf_topk_high_recall_on_clustered(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.ann import brute_force_topk, ivf_topk
+
+    vecs = _clustered_vectors()
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    ds = ray.data.from_pandas(df)
+    query = vecs[17] + 0.1  # near cluster 0
+    brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
+    ivf = ivf_topk(ds, "vid", "v", query, k=10, num_centroids=8, nprobe=2, seed=9)
+    recall = len(set(ivf["vid"]) & set(brute["vid"])) / 10
+    assert recall >= 0.9, recall
+    # pruning actually happened: scanned well under the corpus size
+    assert ivf.attrs["scanned"] < len(vecs) * 0.6
+
+
+def test_ivf_index_build_and_query(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.stages.ann import brute_force_topk, build_ivf_index, ivf_index_topk
+
+    vecs = _clustered_vectors(seed=6)
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_pandas(df), "vid", "v", idx_dir, num_centroids=8, seed=9)
+    import os
+
+    parts = [d for d in os.listdir(os.path.join(idx_dir, "vectors")) if d.startswith("centroid=")]
+    assert len(parts) >= 2, "index must be partitioned by centroid"
+    query = vecs[123] + 0.05
+    got = ivf_index_topk(idx_dir, "vid", "v", query, k=10, nprobe=3)
+    brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
+    recall = len(set(got["vid"]) & set(brute["vid"])) / 10
+    assert recall >= 0.9, recall

@@ -1004,6 +1004,48 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+def curation_funnel(sf_dir: str):
+    """End-to-end corpus curation (the canonical training-data pipeline):
+    documents -> exact dedup (keep min doc_id per distinct text) -> quality
+    score/filter -> lang-partitioned Parquet export under /tmp, then the
+    written partitions are read back and counted per lang (validating the
+    sink roundtrip).  Rows: one funnel row per stage + one per exported
+    lang partition."""
+    import os
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    out_dir = os.path.join(
+        "/tmp", "qdr_curated", os.path.basename(os.path.normpath(sf_dir))
+    )
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    funnel = curate_corpus(ds, out_dir, min_quality=0.3)
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = batch["lang"].value_counts()
+        return pa.table(
+            {
+                "lang": pc.cast(counts.field("values"), pa.string()),
+                "cnt": counts.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(cnt=("cnt", "sum"))
+
+    per_lang = two_phase(back, partial, final).to_pandas().sort_values("lang")
+    rows = [
+        {"stage": "input", "count": funnel["n_in"]},
+        {"stage": "after_dedup", "count": funnel["n_after_dedup"]},
+        {"stage": "exported", "count": funnel["n_exported"]},
+    ] + [
+        {"stage": f"exported:lang={l}", "count": int(c)}
+        for l, c in zip(per_lang["lang"], per_lang["cnt"])
+    ]
+    return pd.DataFrame(rows)
+
+
 def langid_counts(sf_dir: str):
     """Predicted language distribution (heuristic language-ID stage)."""
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -1312,6 +1354,7 @@ SKETCH_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,
+    "curation_funnel": curation_funnel,
     "sk_qdigest_nchars": sk_qdigest_nchars,
     "sk_qdigest_nchars_by_lang": sk_qdigest_nchars_by_lang,
     "sk_tdigest_event_values": sk_tdigest_event_values,

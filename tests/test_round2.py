@@ -550,3 +550,44 @@ def test_ivf_index_build_and_query(ray_session, tmp_path):
     brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
     recall = len(set(got["vid"]) & set(brute["vid"])) / 10
     assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline (dedup -> quality filter -> partitioned export)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_funnel(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus, dedup_keep_first
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the patient cat "
+        "watches from a warm stone wall in the afternoon sun, and nothing "
+        "else about this sentence is remarkable except its ordinary words."
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype="int64"),
+            "text": [good + f" Variant {i}." for i in range(20)]
+            + [good + " Variant 0."] * 5  # exact dups of doc 0... wait, of variant 0
+            + ["!!!"] * 5,  # junk: fails quality
+            "lang": ["en"] * 15 + ["de"] * 15,
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    # dedup_keep_first keeps min doc_id per distinct text
+    surv = dedup_keep_first(ds, "doc_id", "text").to_pandas()
+    assert len(surv) == 21  # 20 variants + 1 junk text (5 copies -> 1)
+    out_dir = str(tmp_path / "curated")
+    funnel = curate_corpus(ray.data.from_pandas(docs), out_dir, min_quality=0.3)
+    assert funnel["n_in"] == 30
+    assert funnel["n_after_dedup"] == 21
+    assert funnel["n_exported"] == 20  # junk dropped by quality filter
+    parts = {d for d in os.listdir(out_dir) if d.startswith("lang=")}
+    assert parts == {"lang=en", "lang=de"}
+    back = ray.data.read_parquet(out_dir).to_pandas()
+    assert set(back["doc_id"]) == set(range(20))

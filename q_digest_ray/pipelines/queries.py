@@ -37,7 +37,21 @@ from q_digest_ray.stages.partitioning import derive_buckets, pool_limits
 
 
 def pricing_summary(sf_dir: str):
-    """TPC-H Q1-style pricing summary over lineitem (partial-agg + groupby)."""
+    """TPC-H Q1-style pricing summary over lineitem (partial-agg + groupby).
+
+    Money arithmetic is EXACT fixed-point (functions/fixedpoint.py): floats
+    are order-dependent, and at sf0.001 sum_disc_price lands exactly on a
+    rounding tie (30158055.965) where float summation order decides the
+    cent.  Each batch scales the 2-decimal columns to int64 (cents), the
+    final combine sums Python ints, and rounding reproduces DuckDB's
+    half-away-from-zero / double-round semantics bit for bit; the oracle
+    casts to DECIMAL so both sides round the same exact value."""
+    from q_digest_ray.functions.fixedpoint import (
+        duckdb_round_double,
+        exact_sum,
+        round_scaled_half_up,
+        scaled_int64,
+    )
 
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
@@ -45,28 +59,32 @@ def pricing_summary(sf_dir: str):
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         if batch.num_rows == 0:
             return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "s_qty", "s_base", "s_disc", "s_charge", "s_discount", "cnt"]
+                columns=["l_returnflag", "l_linestatus", "q100", "p100", "disc4", "charge6", "d100", "cnt"]
             )
-        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        q100 = scaled_int64(batch["l_quantity"].to_numpy(zero_copy_only=False), 2)
+        p100 = scaled_int64(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        d100 = scaled_int64(batch["l_discount"].to_numpy(zero_copy_only=False), 2)
+        t100 = scaled_int64(batch["l_tax"].to_numpy(zero_copy_only=False), 2)
+        disc4 = p100 * (100 - d100)  # price*(1-disc), scale 10^4
+        charge6 = disc4 * (100 + t100)  # ... *(1+tax), scale 10^6
         df = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"].to_pandas(),
                 "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "s_qty": batch["l_quantity"].to_pandas(),
-                "s_base": batch["l_extendedprice"].to_pandas(),
-                "s_disc": disc_price.to_pandas(),
-                "s_charge": charge.to_pandas(),
-                "s_discount": batch["l_discount"].to_pandas(),
+                "q100": q100,
+                "p100": p100,
+                "disc4": disc4,
+                "charge6": charge6,
+                "d100": d100,
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
-            s_qty=("s_qty", "sum"),
-            s_base=("s_base", "sum"),
-            s_disc=("s_disc", "sum"),
-            s_charge=("s_charge", "sum"),
-            s_discount=("s_discount", "sum"),
-            cnt=("s_qty", "size"),
+            q100=("q100", "sum"),
+            p100=("p100", "sum"),
+            disc4=("disc4", "sum"),
+            charge6=("charge6", "sum"),
+            d100=("d100", "sum"),
+            cnt=("q100", "size"),
         )
         return g
 
@@ -84,36 +102,51 @@ def pricing_summary(sf_dir: str):
         ],
     )
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pd.DataFrame(
-            {
-                "l_returnflag": g["l_returnflag"],
-                "l_linestatus": g["l_linestatus"],
-                "sum_qty": g["s_qty"].round(2),
-                "sum_base_price": g["s_base"].round(2),
-                "sum_disc_price": g["s_disc"].round(2),
-                "sum_charge": g["s_charge"].round(2),
-                "avg_qty": (g["s_qty"] / g["cnt"]).round(4),
-                "avg_price": (g["s_base"] / g["cnt"]).round(4),
-                "avg_disc": (g["s_discount"] / g["cnt"]).round(4),
-                "count_order": g["cnt"].astype("int64"),
-            }
-        )
+        rows = []
+        for (rf, ls), g in df.groupby(["l_returnflag", "l_linestatus"]):
+            # Python-int sums: int64 partials re-summed over many blocks
+            # can overflow int64 at 10^12-row scale
+            S_q, S_p = exact_sum(g["q100"]), exact_sum(g["p100"])
+            S_d4, S_c6 = exact_sum(g["disc4"]), exact_sum(g["charge6"])
+            S_disc, cnt = exact_sum(g["d100"]), exact_sum(g["cnt"])
+            rows.append(
+                {
+                    "l_returnflag": rf,
+                    "l_linestatus": ls,
+                    "sum_qty": round_scaled_half_up(S_q, 100, 2),
+                    "sum_base_price": round_scaled_half_up(S_p, 100, 2),
+                    "sum_disc_price": round_scaled_half_up(S_d4, 10**4, 2),
+                    "sum_charge": round_scaled_half_up(S_c6, 10**6, 2),
+                    # oracle divides double(exact decimal sum) by count —
+                    # S/100 as int-over-int division is that same double
+                    "avg_qty": duckdb_round_double((S_q / 100) / cnt, 4),
+                    "avg_price": duckdb_round_double((S_p / 100) / cnt, 4),
+                    "avg_disc": duckdb_round_double((S_disc / 100) / cnt, 4),
+                    "count_order": cnt,
+                }
+            )
+        return pd.DataFrame(rows)
 
     df = two_phase(ds, partial, final).to_pandas()
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+# money terms CAST to DECIMAL: sums are exact, so round() decides ties on
+# the exact value (half away from zero) — matching the engine's scaled-int
+# arithmetic bit for bit instead of racing float summation order
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(sum(l_quantity) / count(*), 4)                             AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 4)                        AS avg_price,
-       round(sum(l_discount) / count(*), 4)                             AS avg_disc,
-       count(*)                                                         AS count_order
+       round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)                  AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)             AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)          AS sum_disc_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)               AS sum_charge,
+       round(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*), 4)       AS avg_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 4)  AS avg_price,
+       round(sum(CAST(l_discount AS DECIMAL(18,2))) / count(*), 4)       AS avg_disc,
+       count(*)                                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -284,17 +317,20 @@ def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type (windowed aggregate)."""
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
     def partial(batch: pa.Table) -> pd.DataFrame:
         win = pc.floor_temporal(batch["ts"], unit="hour")
         df = pd.DataFrame(
             {
                 "event_type": batch["event_type"].to_pandas(),
                 "window_start": win.to_pandas(),
-                "value": batch["value"].to_pandas(),
+                # exact cents (fixedpoint.py)
+                "v100": scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2),
             }
         )
         return df.groupby(["event_type", "window_start"], sort=False, as_index=False).agg(
-            n_events=("value", "size"), s_value=("value", "sum")
+            n_events=("v100", "size"), s_value=("v100", "sum")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -303,7 +339,7 @@ def events_hourly(sf_dir: str):
         )
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = df["s_value"].round(2)
+    df["sum_value"] = df["s_value"] / 100.0  # exact cents sum (fixedpoint.py)
     df["n_events"] = df["n_events"].astype("int64")
     # emit the window as a string so value comparison is unit-independent
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
@@ -316,7 +352,7 @@ def events_hourly(sf_dir: str):
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
 """
 
@@ -325,15 +361,19 @@ def top_users(sf_dir: str):
     """Top-10 users by total event value (groupby → sort → limit)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
 
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
                 "user_id": batch["user_id"].to_pandas(),
-                "value": batch["value"].to_pandas(),
+                # exact cents: float sums are order-dependent and can flip
+                # a rounding tie vs the DECIMAL oracle (fixedpoint.py)
+                "v100": scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2),
             }
         )
         return df.groupby("user_id", sort=False, as_index=False).agg(
-            s=("value", "sum"), c=("value", "size")
+            s=("v100", "sum"), c=("v100", "size")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -342,7 +382,7 @@ def top_users(sf_dir: str):
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
-                "total_value": g["s"].round(2),
+                "total_value": g["s"] / 100.0,  # exact 2-dec, no rounding needed
                 "n_events": g["c"].astype("int64"),
             }
         )
@@ -351,8 +391,10 @@ def top_users(sf_dir: str):
 
 
 TOP_USERS_SQL = """
-SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
-FROM events GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10
+SELECT user_id, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY sum(CAST(value AS DECIMAL(18,2))) DESC, user_id LIMIT 10
 """
 
 
@@ -390,11 +432,18 @@ def order_revenue_by_nation(sf_dir: str):
             nk = self.lk["nationkey_by_cust"][pos]
             npos = np.searchsorted(self.nkeys, nk)
             names = self.nnames[npos]
+            from q_digest_ray.functions.fixedpoint import scaled_int64
+
             df = pd.DataFrame(
-                {"n_name": names, "price": batch["o_totalprice"].to_numpy()[present]}
+                {
+                    "n_name": names,
+                    "p100": scaled_int64(
+                        batch["o_totalprice"].to_numpy()[present], 2
+                    ),  # exact cents (fixedpoint.py)
+                }
             )
             return df.groupby("n_name", sort=False, as_index=False).agg(
-                s=("price", "sum"), c=("price", "size")
+                s=("p100", "sum"), c=("p100", "size")
             )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -405,7 +454,7 @@ def order_revenue_by_nation(sf_dir: str):
         return pd.DataFrame(
             {
                 "n_name": g["n_name"],
-                "total_revenue": g["s"].round(2),
+                "total_revenue": g["s"] / 100.0,  # exact 2-dec
                 "n_orders": g["c"].astype("int64"),
             }
         )
@@ -419,7 +468,7 @@ def order_revenue_by_nation(sf_dir: str):
 
 
 ORDER_REVENUE_SQL = """
-SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue, count(*) AS n_orders
+SELECT n_name, round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_revenue, count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -586,11 +635,16 @@ def sessionize(sf_dir: str, num_buckets: int | None = None):
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     B = num_buckets or derive_buckets(ds)  # power of two → mask assignment
 
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         # co-locate each user's events while keeping the shuffle coarse:
         # B size-derived hash buckets instead of one ray-level group per user
         b = pc.bit_wise_and(batch["user_id"], pa.scalar(B - 1, pa.int64()))
-        return batch.append_column("bucket", pc.cast(b, pa.int32()))
+        batch = batch.append_column("bucket", pc.cast(b, pa.int32()))
+        # exact cents (fixedpoint.py): per-session float sums can tie-flip
+        v100 = scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
+        return batch.append_column("v100", pa.array(v100))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -602,8 +656,9 @@ def sessionize(sf_dir: str, num_buckets: int | None = None):
             user_id=("user_id", "first"),
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
-            sum_value=("value", "sum"),
+            s100=("v100", "sum"),
         )
+        out["sum_value"] = out["s100"] / 100.0  # exact 2-dec
         # per-user session index (1-based)
         out["sess_id"] = out.groupby("user_id").cumcount() + 1
         return out.reset_index(drop=True)
@@ -617,7 +672,6 @@ def sessionize(sf_dir: str, num_buckets: int | None = None):
     df["session_start"] = pd.to_datetime(df["session_start"]).dt.strftime(
         "%Y-%m-%d %H:%M:%S"
     )
-    df["sum_value"] = df["sum_value"].round(2)
     df["n_events"] = df["n_events"].astype("int64")
     return (
         df[["user_id", "sess_id", "n_events", "session_start", "sum_value"]]
@@ -642,7 +696,7 @@ WITH ordered AS (
 )
 SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(value), 2) AS sum_value
+       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
 FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
@@ -758,8 +812,10 @@ def events_sliding(sf_dir: str):
         ts = batch["ts"].to_numpy(zero_copy_only=False)
         base = ts.astype("datetime64[m]")
         floor15 = base - (base.astype("int64") % 15).astype("timedelta64[m]")
+        from q_digest_ray.functions.fixedpoint import scaled_int64
+
         et = batch["event_type"].to_pandas().to_numpy()
-        val = batch["value"].to_numpy()
+        val = scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
         frames = []
         for j in range(WIN_STEPS):
             frames.append(
@@ -783,7 +839,7 @@ def events_sliding(sf_dir: str):
         )
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = df["s_value"].round(2)
+    df["sum_value"] = df["s_value"] / 100.0  # exact cents sum (fixedpoint.py)
     df["n_events"] = df["n_events"].astype("int64")
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
     return (
@@ -795,7 +851,7 @@ def events_sliding(sf_dir: str):
 
 EVENTS_SLIDING_SQL = """
 SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
 FROM (
   SELECT event_type, value,
          time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS ws
@@ -834,26 +890,37 @@ def revenue_by_priority(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
 
+    from q_digest_ray.functions.fixedpoint import (
+        exact_sum,
+        round_scaled_half_up,
+        scaled_int64,
+    )
+
     def partial(batch: pa.Table) -> pd.DataFrame:
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
+        # exact fixed-point: price*(1-disc) at scale 10^4 (fixedpoint.py)
+        p100 = scaled_int64(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        d100 = scaled_int64(batch["l_discount"].to_numpy(zero_copy_only=False), 2)
         df = pd.DataFrame(
-            {"o_orderpriority": batch["o_orderpriority"].to_pandas(), "rev": rev.to_pandas()}
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "rev4": p100 * (100 - d100),
+            }
         )
         return df.groupby("o_orderpriority", sort=False, as_index=False).agg(
-            s=("rev", "sum"), c=("rev", "size")
+            s=("rev4", "sum"), c=("rev4", "size")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("o_orderpriority", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
-        return pd.DataFrame(
-            {
-                "o_orderpriority": g["o_orderpriority"],
-                "revenue": g["s"].round(2),
-                "n_items": g["c"].astype("int64"),
-            }
-        )
+        rows = []
+        for pri, g in df.groupby("o_orderpriority"):
+            rows.append(
+                {
+                    "o_orderpriority": pri,
+                    "revenue": round_scaled_half_up(exact_sum(g["s"]), 10**4, 2),
+                    "n_items": exact_sum(g["c"]),
+                }
+            )
+        return pd.DataFrame(rows)
 
     df = two_phase(joined, partial, final).to_pandas()
     return df.sort_values("o_orderpriority").reset_index(drop=True)
@@ -861,7 +928,8 @@ def revenue_by_priority(sf_dir: str):
 
 REVENUE_BY_PRIORITY_SQL = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1265,27 +1333,30 @@ def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):
         cust, orders, on="c_custkey", right_on="o_custkey", num_buckets=B
     )
 
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(p100=scaled_int64(df["o_totalprice"].to_numpy(), 2))
         return df.groupby("c_nationkey", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            p100=("p100", "sum"), n_orders=("p100", "size")
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("c_nationkey", as_index=False).agg(
-            revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+            p100=("p100", "sum"), n_orders=("n_orders", "sum")
         )
-        g["revenue"] = g["revenue"].round(2)
+        g["revenue"] = g["p100"] / 100.0  # exact 2-dec cents sum
         g["n_orders"] = g["n_orders"].astype("int64")
         # join-side null padding upcasts the key to float64 — restore int
         g["c_nationkey"] = g["c_nationkey"].astype("int64")
-        return g
+        return g[["c_nationkey", "revenue", "n_orders"]]
 
     df = two_phase_pandas(joined, partial, final, batch_size=None).to_pandas()
     return df.sort_values("c_nationkey").reset_index(drop=True)
 
 
 CUSTOMER_NATION_REVENUE_SQL = """
-SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue,
+SELECT c_nationkey, round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS revenue,
        count(*) AS n_orders
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey

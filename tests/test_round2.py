@@ -591,3 +591,56 @@ def test_curate_corpus_funnel(ray_session, tmp_path):
     assert parts == {"lang=en", "lang=de"}
     back = ray.data.read_parquet(out_dir).to_pandas()
     assert set(back["doc_id"]) == set(range(20))
+
+
+# ---------------------------------------------------------------------------
+# exact fixed-point money arithmetic (tie-proof vs the DECIMAL oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_round_scaled_half_up_matches_duckdb_decimal():
+    import duckdb
+
+    from q_digest_ray.functions.fixedpoint import round_scaled_half_up
+
+    con = duckdb.connect()
+    cases = [
+        (30158055965, 1000, 2),  # the observed sf0.001 tie: 30158055.965
+        (2675, 1000, 2),
+        (2665, 1000, 2),
+        (-2675, 1000, 2),
+        (1234999999, 10**6, 2),
+        (5, 10, 0),
+        (123456789012345675, 10**4, 2),
+    ]
+    for total, scale, dec in cases:
+        got = round_scaled_half_up(total, scale, dec)
+        exp = float(
+            con.execute(
+                f"SELECT round(CAST({total} AS DECIMAL(38,0)) / {scale}, {dec})"
+            ).fetchone()[0]
+        )
+        assert got == exp, (total, scale, dec, got, exp)
+
+
+def test_duckdb_round_double_matches_duckdb():
+    import duckdb
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    con = duckdb.connect()
+    vals = [2.675, 2.674, 2.6749999999999, 0.125, 3.3333333333333335, -2.675, 26.2946127]
+    for v in vals:
+        got = duckdb_round_double(v, 2)
+        exp = con.execute(f"SELECT round({v!r}::DOUBLE, 2)").fetchone()[0]
+        assert got == exp, (v, got, exp)
+        got4 = duckdb_round_double(v, 4)
+        exp4 = con.execute(f"SELECT round({v!r}::DOUBLE, 4)").fetchone()[0]
+        assert got4 == exp4, (v, got4, exp4)
+
+
+def test_scaled_int64_recovers_two_decimals():
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
+    vals = np.array([0.1, 0.29, 123456.78, 99999999.99, -5.05])
+    assert (scaled_int64(vals, 2) == np.array([10, 29, 12345678, 9999999999, -505])).all()

@@ -38,13 +38,33 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-def _hash_var_width(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+def _seed_multiplier(seed64: np.uint64) -> tuple[np.uint64, np.uint64]:
+    """Seed-derived odd polynomial multiplier + its modular inverse.
+
+    A seed must change the hash FAMILY, not just post-mix the digest: any
+    post-mix h2 = f(h1) preserves every h1 collision, so a '128-bit'
+    (h1, h2) key would still collide at the 64-bit birthday rate.  Using a
+    different odd multiplier makes the two polynomials structurally
+    independent — two distinct strings colliding under R almost surely
+    differ under R' (found by round-2 self-review)."""
+    m = int(splitmix64(np.array([seed64], dtype=np.uint64))[0]) | 1
+    return np.uint64(m), np.uint64(pow(m, -1, 1 << 64))
+
+
+def _hash_var_width(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    mult: np.uint64 = _POLY_R,
+    mult_inv: np.uint64 = _POLY_R_INV,
+    seed64: np.uint64 = np.uint64(0),
+) -> np.ndarray:
     """Polynomial hash of variable-width byte slices, fully vectorized.
 
     ``data`` is the concatenated byte buffer (uint8), ``offsets`` the int64
     row boundaries (len = n_rows + 1).  For row r with bytes b_0..b_{m-1} the
     raw hash is  sum_i b_i * R**(i)  (mod 2**64) computed relative to the row
-    start, plus the row length mixed in, then avalanched.
+    start, plus the row length mixed in, then avalanched.  ``mult`` selects
+    the hash family (seeded callers pass a seed-derived odd multiplier).
 
     Trick: compute global weights R**g for global byte position g once via a
     wrapping cumprod, take the weighted prefix-sum segment per row with
@@ -55,14 +75,14 @@ def _hash_var_width(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     total = int(offsets[-1] - offsets[0])
     base = int(offsets[0])
     if total == 0:
-        return splitmix64(np.zeros(n_rows, dtype=np.uint64))
+        return splitmix64(np.full(n_rows, seed64, dtype=np.uint64))
     d = data[base : base + total].astype(np.uint64)
     # weights[g] = R**g (mod 2**64)
     weights = np.empty(total, dtype=np.uint64)
     weights[0] = np.uint64(1)
     if total > 1:
         np.multiply.accumulate(
-            np.full(total - 1, _POLY_R, dtype=np.uint64), out=weights[1:]
+            np.full(total - 1, mult, dtype=np.uint64), out=weights[1:]
         )
     terms = (d + np.uint64(1)) * weights  # +1 so trailing zero bytes matter
     starts = (offsets[:-1] - base).astype(np.int64)
@@ -80,11 +100,11 @@ def _hash_var_width(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     inv_weights = np.empty(total + 1, dtype=np.uint64)
     inv_weights[0] = np.uint64(1)
     np.multiply.accumulate(
-        np.full(total, _POLY_R_INV, dtype=np.uint64), out=inv_weights[1:]
+        np.full(total, mult_inv, dtype=np.uint64), out=inv_weights[1:]
     )
     sums *= inv_weights[starts]
     sums[empty] = np.uint64(0)
-    return splitmix64(sums ^ (lengths * _SM_C1))
+    return splitmix64(sums ^ (lengths * _SM_C1) ^ seed64)
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -121,7 +141,11 @@ def hash64(values: "pa.Array | pa.ChunkedArray | np.ndarray", seed: int = 0) -> 
             or pa.types.is_large_binary(t)
         ):
             data, offsets = _string_buffers(values)
-            h = _hash_var_width(data, offsets)
+            if seed:
+                m, minv = _seed_multiplier(seed64)
+                h = _hash_var_width(data, offsets, m, minv, seed64)
+            else:
+                h = _hash_var_width(data, offsets)
         else:
             # Normalize to a null-free 8-byte Arrow array FIRST, so the numpy
             # conversion never falls back to float64-with-NaN (which would make
@@ -172,6 +196,26 @@ def hash64(values: "pa.Array | pa.ChunkedArray | np.ndarray", seed: int = 0) -> 
     if seed:
         h = splitmix64(h ^ seed64)
     return h
+
+
+_CONTENT_KEY_SEED = 0x5EED
+
+
+def content_key128(
+    values, num_buckets: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, bucket) int64/int32 content key shared by every exact-dedup
+    style operator (dedup_exact, distinct_text_count, dedup_keep_first).
+
+    h1 and h2 come from structurally independent polynomial families
+    (seed-derived multiplier, see ``_seed_multiplier``), so a silent merge
+    of two distinct texts needs a genuine 128-bit collision; the bucket is
+    derived from h1 so equal texts always co-locate."""
+    h1 = hash64(values).view(np.int64)
+    h2 = hash64(values, seed=_CONTENT_KEY_SEED).view(np.int64)
+    B = np.int64(num_buckets)
+    bucket = ((h1 % B + B) % B).astype(np.int32)
+    return h1, h2, bucket
 
 
 def hash_columns(batch: pa.Table, columns: list[str], seed: int = 0) -> np.ndarray:

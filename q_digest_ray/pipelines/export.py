@@ -58,20 +58,17 @@ def dedup_keep_first(ds, id_col: str, text_col: str, num_buckets: int | None = N
     curation pipeline (SCALE.md), unavoidable because surviving rows must
     be materialized downstream; the alternative (survivor-id semi-join)
     needs a corpus-sized broadcast."""
-    import numpy as np
-
-    from q_digest_ray.functions.hashing import hash64
+    from q_digest_ray.functions.hashing import content_key128
     from q_digest_ray.stages.partitioning import derive_buckets
 
     B = num_buckets or derive_buckets(ds)
 
     def add_key(batch: pa.Table) -> pa.Table:
-        h1 = hash64(batch[text_col]).view(np.int64)
-        h2 = hash64(batch[text_col], seed=0x5EED).view(np.int64)
+        h1, h2, bucket = content_key128(batch[text_col], B)
         return (
             batch.append_column("__h1", pa.array(h1))
             .append_column("__h2", pa.array(h2))
-            .append_column("__bucket", pa.array(((h1 % B + B) % B).astype(np.int32)))
+            .append_column("__bucket", pa.array(bucket))
         )
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:

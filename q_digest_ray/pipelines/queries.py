@@ -196,15 +196,15 @@ def distinct_text_count(sf_dir: str, num_buckets: int | None = None):
     B = num_buckets or derive_buckets(ds)
 
     def to_hashes(batch: pa.Table) -> pa.Table:
-        h1 = hash64(batch["text"]).view(np.int64)
-        h2 = hash64(batch["text"], seed=0x5EED).view(np.int64)
+        from q_digest_ray.functions.hashing import content_key128
+
+        h1, h2, bucket = content_key128(batch["text"], B)
         order = np.argsort(h1, kind="stable")
-        h1, h2 = h1[order], h2[order]
+        h1, h2, bucket = h1[order], h2[order], bucket[order]
         keep = np.ones(len(h1), dtype=bool)
         keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        h1, h2 = h1[keep], h2[keep]
         return pa.table(
-            {"h": pa.array(h1), "h2": pa.array(h2), "bucket": pa.array((h1 % B + B) % B)}
+            {"h": pa.array(h1[keep]), "h2": pa.array(h2[keep]), "bucket": pa.array(bucket[keep])}
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -238,13 +238,14 @@ def dedup_exact(sf_dir: str, num_buckets: int | None = None):
     B = num_buckets or derive_buckets(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h1 = hash64(batch["text"]).view(np.int64)
-        h2 = hash64(batch["text"], seed=0x5EED).view(np.int64)
+        from q_digest_ray.functions.hashing import content_key128
+
+        h1, h2, bucket = content_key128(batch["text"], B)
         t = pa.table(
             {
                 "h": pa.array(h1),
                 "h2": pa.array(h2),
-                "bucket": pa.array((h1 % B + B) % B),
+                "bucket": pa.array(bucket),
                 "doc_id": batch["doc_id"],
             }
         )
@@ -1081,13 +1082,17 @@ def curation_funnel(sf_dir: str):
     lang partition."""
     import os
 
-    from q_digest_ray.pipelines.export import curate_corpus
+    from q_digest_ray.pipelines.export import dedup_keep_first, export_curated
 
     out_dir = os.path.join(
         "/tmp", "qdr_curated", os.path.basename(os.path.normpath(sf_dir))
     )
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    funnel = curate_corpus(ds, out_dir, min_quality=0.3)
+    n_in = ds.count()  # parquet metadata, no scan
+    n_after_dedup = dedup_keep_first(ds, "doc_id", "text").count()  # diagnostic pass
+    export_curated(dedup_keep_first(ds, "doc_id", "text"), out_dir, min_quality=0.3)
+    # ONE output-sized read-back serves both the per-lang counts and the
+    # exported total (their sum) — no second sink read
     back = ray.data.read_parquet(out_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1104,9 +1109,9 @@ def curation_funnel(sf_dir: str):
 
     per_lang = two_phase(back, partial, final).to_pandas().sort_values("lang")
     rows = [
-        {"stage": "input", "count": funnel["n_in"]},
-        {"stage": "after_dedup", "count": funnel["n_after_dedup"]},
-        {"stage": "exported", "count": funnel["n_exported"]},
+        {"stage": "input", "count": n_in},
+        {"stage": "after_dedup", "count": n_after_dedup},
+        {"stage": "exported", "count": int(per_lang["cnt"].sum())},
     ] + [
         {"stage": f"exported:lang={l}", "count": int(c)}
         for l, c in zip(per_lang["lang"], per_lang["cnt"])

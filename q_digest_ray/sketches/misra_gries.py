@@ -76,7 +76,10 @@ class MisraGries(Sketch):
             else:
                 uk, codes = np.unique(np.asarray(values), return_inverse=True)
                 keys = uk.tolist()
-            counts = np.bincount(codes, weights=w, minlength=len(keys)).astype(np.int64)
+            # int64 accumulation — bincount's float64 weights path loses
+            # integer precision past 2^53 per key
+            counts = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(counts, codes, w)
         else:
             if isinstance(values, pa.ChunkedArray):
                 values = values.combine_chunks()

@@ -151,21 +151,36 @@ def train_centroids(
     iters: int = 10,
     seed: int = 23,
 ) -> np.ndarray:
-    """Coarse k-means centroids from a bounded random sample.
+    """Coarse k-means centroids from a bounded sample.
 
-    One streaming pass samples <= sample_size vectors (driver memory is
-    bounded by the sample, not the corpus); Lloyd iterations run on the
-    driver — standard IVF training.  Centroids are L2-normalized so the
-    assignment argmax is cosine."""
-    try:
-        total = ds.count()
-    except Exception:
-        total = None
-    frac = 1.0 if not total else min(1.0, (sample_size * 1.2) / max(total, 1))
-    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
-    sample = _normalize(_matrix(sample_ds.limit(sample_size).to_pandas()[vec_col].pipe(
-        lambda s: pa.array(list(s))
-    )))
+    Sampling takes a capped slice from EVERY block (spreading the sample
+    across the corpus) and stops at ``sample_size`` via streaming
+    ``limit`` — no corpus-sized ``count()`` pass (an r2 self-review
+    finding: the old fraction computation cost a full extra scan).  Driver
+    memory is bounded by the sample; Lloyd iterations run on the driver —
+    standard IVF training.  Centroids are L2-normalized so the assignment
+    argmax is cosine."""
+    per_block = max(64, sample_size // 64)
+
+    def strided(batch: pa.Table) -> pa.Table:
+        # evenly-strided rows per block, not the head — ordered data (e.g.
+        # cluster-sorted) would otherwise bias the sample to early clusters
+        n = batch.num_rows
+        if n <= per_block:
+            return batch
+        idx = np.linspace(0, n - 1, per_block).astype(np.int64)
+        return batch.take(pa.array(idx))
+
+    sample_df = (
+        ds.map_batches(strided, batch_format="pyarrow")
+        .limit(sample_size)
+        .to_pandas()
+    )
+    if len(sample_df) == 0 or vec_col not in sample_df.columns:
+        return np.zeros((0, 0))
+    sample = _normalize(_matrix(pa.array(list(sample_df[vec_col]))))
+    if len(sample) == 0:
+        return np.zeros((0, 0))
     rng = np.random.default_rng(seed)
     k = min(num_centroids, len(sample))
     cents = sample[rng.choice(len(sample), k, replace=False)]
@@ -201,6 +216,8 @@ def ivf_topk(
         if centroids is not None
         else train_centroids(ds, vec_col, num_centroids, seed=seed)
     )
+    if cents.size == 0:  # empty corpus: nothing to probe
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
     q = query.astype(np.float64)
     q = q / np.linalg.norm(q)
     probes = np.argsort(-(cents @ q))[:nprobe]

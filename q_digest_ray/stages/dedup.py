@@ -357,9 +357,13 @@ def minhash_dup_groups(
       per-batch signatures → (band, band_hash, doc) bucket rows →
       coarse-bucket groupby emitting candidate PAIRS in-group (vectorized
       ``np.triu_indices``; band buckets above ``max_bucket`` members fall
-      back to O(m) chain pairs — standard LSH degenerate-bucket practice,
-      connectivity preserved for true duplicate classes since identical
-      docs agree on every band) → distributed exact-Jaccard verification
+      back to O(m) chain pairs — standard LSH degenerate-bucket practice.
+      The chain keeps EXACT-duplicate classes connected (every adjacent
+      pair verifies at Jaccard 1.0); merely-similar docs in a degenerate
+      bucket can lose pairs when an intervening chain link fails
+      verification — the accepted recall trade vs O(m^2) emission, and
+      other bands usually recover such pairs) → distributed exact-Jaccard
+      verification
       via ``jaccard_verify`` (texts shipped to pairs through bucketed
       joins; the driver only ever sees VERIFIED pairs) → union-find over
       verified pairs (tiny: ~dup-rate x corpus; for a pathological pair
@@ -488,7 +492,14 @@ def simhash_dup_pairs(
                 pa.table(
                     {
                         "ckey": pa.array((key + np.int32(c << 16)).astype(np.int32)),
-                        "coarse": pa.array((key % B).astype(np.int32)),
+                        # mix the full (chunk, key) through splitmix so the
+                        # coarse key spans all B buckets even for B > 2^16
+                        "coarse": pa.array(
+                            (
+                                splitmix64((key + np.int64(c << 16)).astype(np.uint64))
+                                % np.uint64(B)
+                            ).astype(np.int32)
+                        ),
                         "doc_id": pa.array(ids),
                         "sig": pa.array(sig.view(np.int64)),
                     }

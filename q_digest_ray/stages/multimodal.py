@@ -90,6 +90,12 @@ class ImageDecodeStage:
 
     def __init__(self, strict: bool = False, use_real: bool | None = None):
         self.strict = strict
+        if use_real and not HAS_PIL:
+            # an explicit request for real decoding must not silently
+            # degrade to hash-noise features
+            raise NotImplementedError(
+                "use_real=True requires PIL, which is not importable here"
+            )
         self.use_real = HAS_PIL if use_real is None else use_real
 
     @staticmethod

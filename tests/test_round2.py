@@ -644,3 +644,59 @@ def test_scaled_int64_recovers_two_decimals():
 
     vals = np.array([0.1, 0.29, 123456.78, 99999999.99, -5.05])
     assert (scaled_int64(vals, 2) == np.array([10, 29, 12345678, 9999999999, -505])).all()
+
+
+# ---------------------------------------------------------------------------
+# self-review fixes: seed entropy, MG big weights, IVF empty, strict decode
+# ---------------------------------------------------------------------------
+
+
+def test_hash64_seed_changes_family_not_postmix():
+    """A post-mixed seed (h2 = f(h1)) preserves every h1 collision, making a
+    '128-bit' (h1, h2) key 64-bit in disguise; the seed must select an
+    independent polynomial family."""
+    from q_digest_ray.functions.hashing import splitmix64
+
+    texts = pa.array([f"doc {i} words here" for i in range(500)] + ["", "x"])
+    h1 = hash64(texts)
+    h2 = hash64(texts, seed=0x5EED)
+    assert not (h2 == splitmix64(h1 ^ np.uint64(0x5EED))).all()
+    # deterministic and batch-layout invariant
+    assert hash64(pa.array(["doc 7 words here"]), seed=0x5EED)[0] == h2[7]
+
+
+def test_content_key128_shared_helper():
+    from q_digest_ray.functions.hashing import content_key128
+
+    h1, h2, b = content_key128(pa.array(["a", "b", "a"]), 8)
+    assert h1[0] == h1[2] and h2[0] == h2[2] and b[0] == b[2]
+    assert h1[0] != h1[1]
+    assert (0 <= b).all() and (b < 8).all()
+
+
+def test_mg_weighted_exact_beyond_2_53():
+    mg = MisraGries(k=8)
+    big = 1 << 60
+    mg.update_batch(np.array(["k", "k"]), weights=np.array([big, 3], dtype=np.int64))
+    assert mg.estimate("k") == big + 3  # float64 weights would lose the +3
+
+
+def test_ivf_topk_empty_corpus(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.ann import ivf_topk
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"vid": pd.Series(dtype="int64"), "v": pd.Series(dtype="object")})
+    )
+    out = ivf_topk(empty, "vid", "v", np.ones(4), k=5)
+    assert len(out) == 0
+
+
+def test_image_decode_use_real_without_pil_raises():
+    from q_digest_ray.stages.multimodal import HAS_PIL, ImageDecodeStage
+
+    if HAS_PIL:
+        pytest.skip("PIL present — explicit use_real is honored")
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(use_real=True)

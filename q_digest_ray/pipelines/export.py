@@ -103,8 +103,9 @@ def curate_corpus(
     n_in = ds.count()
     deduped = dedup_keep_first(ds, id_col, text_col, num_buckets=num_buckets)
     n_after_dedup = deduped.count()
-    deduped2 = dedup_keep_first(ds, id_col, text_col, num_buckets=num_buckets)
-    export_curated(deduped2, out_dir, min_quality=min_quality, partition_col=partition_col)
+    # consuming the same Dataset again re-executes its lineage — no need
+    # to build a second identical graph
+    export_curated(deduped, out_dir, min_quality=min_quality, partition_col=partition_col)
     import ray.data
 
     n_exported = ray.data.read_parquet(out_dir).count()

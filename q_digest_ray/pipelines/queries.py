@@ -136,13 +136,13 @@ def pricing_summary(sf_dir: str):
 # arithmetic bit for bit instead of racing float summation order
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)                  AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)             AS sum_base_price,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)          AS sum_disc_price,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)  AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                 * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)               AS sum_charge,
+                 * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)    AS sum_charge,
        round(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*), 4)       AS avg_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 4)  AS avg_price,
        round(sum(CAST(l_discount AS DECIMAL(18,2))) / count(*), 4)       AS avg_disc,
@@ -335,12 +335,13 @@ def events_hourly(sf_dir: str):
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(s_value=df["s_value"].astype(object))  # overflow-proof
         return df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("n_events", "sum"), s_value=("s_value", "sum")
         )
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = df["s_value"] / 100.0  # exact cents sum (fixedpoint.py)
+    df["sum_value"] = (df["s_value"] / 100.0).astype("float64")  # exact cents
     df["n_events"] = df["n_events"].astype("int64")
     # emit the window as a string so value comparison is unit-independent
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
@@ -353,7 +354,7 @@ def events_hourly(sf_dir: str):
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-       count(*) AS n_events, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
 """
 
@@ -378,12 +379,15 @@ def top_users(sf_dir: str):
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        # object-dtype cents: re-summing int64 partials over ~10^6 blocks
+        # can overflow int64 (fixedpoint.py) — Python ints cannot
+        df = df.assign(s=df["s"].astype(object))
         g = df.groupby("user_id", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
         g = g.sort_values(["s", "user_id"], ascending=[False, True]).head(10)
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
-                "total_value": g["s"] / 100.0,  # exact 2-dec, no rounding needed
+                "total_value": (g["s"] / 100.0).astype("float64"),  # exact 2-dec
                 "n_events": g["c"].astype("int64"),
             }
         )
@@ -392,7 +396,7 @@ def top_users(sf_dir: str):
 
 
 TOP_USERS_SQL = """
-SELECT user_id, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value,
+SELECT user_id, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
        count(*) AS n_events
 FROM events GROUP BY user_id
 ORDER BY sum(CAST(value AS DECIMAL(18,2))) DESC, user_id LIMIT 10
@@ -451,11 +455,12 @@ def order_revenue_by_nation(sf_dir: str):
     partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=pool_limits())
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(s=df["s"].astype(object))  # overflow-proof cents
         g = df.groupby("n_name", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
         return pd.DataFrame(
             {
                 "n_name": g["n_name"],
-                "total_revenue": g["s"] / 100.0,  # exact 2-dec
+                "total_revenue": (g["s"] / 100.0).astype("float64"),  # exact 2-dec
                 "n_orders": g["c"].astype("int64"),
             }
         )
@@ -469,7 +474,7 @@ def order_revenue_by_nation(sf_dir: str):
 
 
 ORDER_REVENUE_SQL = """
-SELECT n_name, round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_revenue, count(*) AS n_orders
+SELECT n_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue, count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -697,7 +702,7 @@ WITH ordered AS (
 )
 SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
 
@@ -835,12 +840,13 @@ def events_sliding(sf_dir: str):
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(s_value=df["s_value"].astype(object))  # overflow-proof
         return df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("n_events", "sum"), s_value=("s_value", "sum")
         )
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = df["s_value"] / 100.0  # exact cents sum (fixedpoint.py)
+    df["sum_value"] = (df["s_value"] / 100.0).astype("float64")  # exact cents
     df["n_events"] = df["n_events"].astype("int64")
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
     return (
@@ -852,7 +858,7 @@ def events_sliding(sf_dir: str):
 
 EVENTS_SLIDING_SQL = """
 SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-       count(*) AS n_events, round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM (
   SELECT event_type, value,
          time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS ws
@@ -929,8 +935,8 @@ def revenue_by_priority(sf_dir: str):
 
 REVENUE_BY_PRIORITY_SQL = """
 SELECT o_orderpriority,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1084,9 +1090,12 @@ def curation_funnel(sf_dir: str):
 
     from q_digest_ray.pipelines.export import dedup_keep_first, export_curated
 
-    out_dir = os.path.join(
-        "/tmp", "qdr_curated", os.path.basename(os.path.normpath(sf_dir))
-    )
+    # per-process unique dir: a fixed shared path would race concurrent
+    # runs (rmtree under a concurrent reader) and collide same-basename
+    # corpora
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="qdr_curated_")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     n_in = ds.count()  # parquet metadata, no scan
     n_after_dedup = dedup_keep_first(ds, "doc_id", "text").count()  # diagnostic pass
@@ -1347,10 +1356,11 @@ def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(p100=df["p100"].astype(object))  # overflow-proof cents
         g = df.groupby("c_nationkey", as_index=False).agg(
             p100=("p100", "sum"), n_orders=("n_orders", "sum")
         )
-        g["revenue"] = g["p100"] / 100.0  # exact 2-dec cents sum
+        g["revenue"] = (g["p100"] / 100.0).astype("float64")  # exact cents
         g["n_orders"] = g["n_orders"].astype("int64")
         # join-side null padding upcasts the key to float64 — restore int
         g["c_nationkey"] = g["c_nationkey"].astype("int64")
@@ -1361,7 +1371,7 @@ def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):
 
 
 CUSTOMER_NATION_REVENUE_SQL = """
-SELECT c_nationkey, round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS revenue,
+SELECT c_nationkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey

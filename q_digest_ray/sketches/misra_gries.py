@@ -77,9 +77,15 @@ class MisraGries(Sketch):
                 uk, codes = np.unique(np.asarray(values), return_inverse=True)
                 keys = uk.tolist()
             # int64 accumulation — bincount's float64 weights path loses
-            # integer precision past 2^53 per key
+            # integer precision past 2^53 per key; sort+reduceat keeps the
+            # sum exact AND vectorized (np.add.at is an unbuffered loop)
             counts = np.zeros(len(keys), dtype=np.int64)
-            np.add.at(counts, codes, w)
+            if len(w):
+                order = np.argsort(codes, kind="stable")
+                sc = np.asarray(codes)[order]
+                sw = w[order]
+                starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                counts[sc[starts]] = np.add.reduceat(sw, starts)
         else:
             if isinstance(values, pa.ChunkedArray):
                 values = values.combine_chunks()
@@ -91,12 +97,14 @@ class MisraGries(Sketch):
                 arr = np.asarray(values)
                 uk, counts = np.unique(arr, return_counts=True)
                 keys = uk.tolist()
+        total = 0
         for key, c in zip(keys, counts):
             if c <= 0:
                 continue
             key = str(key)
             self.counters[key] = self.counters.get(key, 0) + int(c)
-        self._n += int(np.sum(counts))
+            total += int(c)  # Python-int total: immune to int64 wrap
+        self._n += total
         self._shrink()
 
     def merge(self, other: "MisraGries") -> "MisraGries":

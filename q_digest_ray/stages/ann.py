@@ -160,11 +160,20 @@ def train_centroids(
     memory is bounded by the sample; Lloyd iterations run on the driver —
     standard IVF training.  Centroids are L2-normalized so the assignment
     argmax is cosine."""
-    per_block = max(64, sample_size // 64)
+    # size the per-block cap from the plan's block count so per_block x
+    # num_blocks ~= sample_size: the streaming limit() then has to consume
+    # (nearly) every block, and every block contributes ~equally — a fixed
+    # cap would let limit() stop after the head-of-corpus blocks and bias
+    # the centroids to early clusters
+    try:
+        nb = max(1, int(ds._plan.initial_num_blocks()))
+    except Exception:
+        nb = 64
+    per_block = max(8, sample_size // nb)
 
     def strided(batch: pa.Table) -> pa.Table:
         # evenly-strided rows per block, not the head — ordered data (e.g.
-        # cluster-sorted) would otherwise bias the sample to early clusters
+        # cluster-sorted) would otherwise bias the sample within a block
         n = batch.num_rows
         if n <= per_block:
             return batch
@@ -172,7 +181,7 @@ def train_centroids(
         return batch.take(pa.array(idx))
 
     sample_df = (
-        ds.map_batches(strided, batch_format="pyarrow")
+        ds.map_batches(strided, batch_format="pyarrow", batch_size=None)
         .limit(sample_size)
         .to_pandas()
     )
@@ -284,7 +293,13 @@ def build_ivf_index(
     makes IVF the 100-TB path (and the layout is resumable: each partition
     directory is an independent unit)."""
     import os
+    import shutil
 
+    # write_parquet appends uniquely-named files: clear any previous index
+    # so a rebuild can't mix stale and new vectors (same hazard
+    # export_curated guards)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     cents = train_centroids(ds, vec_col, num_centroids, seed=seed)
     cref = ray.put(cents)
 
@@ -325,6 +340,8 @@ def ivf_index_topk(
     import ray.data
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    if cents.size == 0:  # index built from an empty corpus
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
     q = query.astype(np.float64)
     q = q / np.linalg.norm(q)
     probes = np.argsort(-(cents @ q))[:nprobe]

@@ -573,7 +573,7 @@ def test_curate_corpus_funnel(ray_session, tmp_path):
         {
             "doc_id": np.arange(30, dtype="int64"),
             "text": [good + f" Variant {i}." for i in range(20)]
-            + [good + " Variant 0."] * 5  # exact dups of doc 0... wait, of variant 0
+            + [good + " Variant 0."] * 5  # 5 exact dups of the Variant 0 text (doc 0 survives)
             + ["!!!"] * 5,  # junk: fails quality
             "lang": ["en"] * 15 + ["de"] * 15,
         }
@@ -700,3 +700,31 @@ def test_image_decode_use_real_without_pil_raises():
         pytest.skip("PIL present — explicit use_real is honored")
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(use_real=True)
+
+
+def test_fixedpoint_property_vs_duckdb():
+    """Property check: for random cent totals (including adversarial .xx5
+    ties), round_scaled_half_up and duckdb_round_double agree with live
+    DuckDB on every value."""
+    import duckdb
+
+    from q_digest_ray.functions.fixedpoint import (
+        duckdb_round_double,
+        round_scaled_half_up,
+    )
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(42)
+    totals = list(rng.integers(-(10**12), 10**12, 60))
+    totals += [x * 1000 + 500 for x in rng.integers(0, 10**8, 20)]  # forced ties
+    for total in totals:
+        t = int(total)
+        got = round_scaled_half_up(t, 1000, 2)
+        exp = float(
+            con.execute(f"SELECT round(CAST({t} AS DECIMAL(38,0)) / 1000, 2)").fetchone()[0]
+        )
+        assert got == exp, (t, got, exp)
+    for x in rng.uniform(-1e6, 1e6, 40):
+        got = duckdb_round_double(float(x), 4)
+        exp = con.execute(f"SELECT round({float(x)!r}::DOUBLE, 4)").fetchone()[0]
+        assert got == exp, (x, got, exp)

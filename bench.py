@@ -49,6 +49,10 @@ QUERY_NAMES = [
     "quality_filter",
     "sk_qdigest_nchars",
     "sk_hll_distinct_users",
+    "customer_nation_revenue",
+    "ann_ivf_topk",
+    "sk_kll_weighted_nchars",
+    "curation_funnel",
 ]
 
 

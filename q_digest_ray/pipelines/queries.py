@@ -436,15 +436,19 @@ def order_revenue_by_nation(sf_dir: str):
             pos = pos_safe[present]
             nk = self.lk["nationkey_by_cust"][pos]
             npos = np.searchsorted(self.nkeys, nk)
-            names = self.nnames[npos]
+            # same guard as the custkey lookup: an absent nationkey would
+            # index OOB or silently attribute revenue to the next nation
+            npos_safe = np.minimum(npos, len(self.nkeys) - 1)
+            nation_ok = self.nkeys[npos_safe] == nk
+            pos = pos[nation_ok]
+            names = self.nnames[npos_safe[nation_ok]]
             from q_digest_ray.functions.fixedpoint import scaled_int64
 
+            prices = batch["o_totalprice"].to_numpy()[present][nation_ok]
             df = pd.DataFrame(
                 {
                     "n_name": names,
-                    "p100": scaled_int64(
-                        batch["o_totalprice"].to_numpy()[present], 2
-                    ),  # exact cents (fixedpoint.py)
+                    "p100": scaled_int64(prices, 2),  # exact cents (fixedpoint.py)
                 }
             )
             return df.groupby("n_name", sort=False, as_index=False).agg(

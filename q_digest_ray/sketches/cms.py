@@ -65,6 +65,9 @@ class CountMinSketch(Sketch):
             if weights is None
             else np.asarray(weights, dtype=np.int64)
         )
+        if weights is not None and w.size and w.min() < 0:
+            # negative counters would break the one-sided overcount bound
+            raise ValueError("weights must be non-negative")
         cells = self._cells(h)
         for d in range(self.depth):
             np.add.at(self.table[d], cells[d], w)

@@ -32,15 +32,28 @@ def two_phase(
     final_fn: pandas DataFrame of all partials → result DataFrame.
 
     ``fold_rounds`` > 0 inserts intermediate combine rounds (tree fold) for
-    very large partial sets: each round coalesces 8x and re-applies
-    ``combine_fn`` (defaults to final_fn-compatible partial merging).
+    very large partial sets: each round coalesces the block count 8x and
+    applies ``combine_fn``, which is REQUIRED for folding — it must map
+    partial rows to partial rows (``final_fn`` usually renames/derives
+    columns, so re-applying it would break the next round).
     """
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=batch_size)
-    for _ in range(fold_rounds):
-        fn = combine_fn or final_fn
-        partials = partials.repartition(8).map_batches(
-            fn, batch_format="pandas", batch_size=None
-        )
+    if fold_rounds > 0:
+        if combine_fn is None:
+            raise ValueError(
+                "fold_rounds > 0 requires combine_fn (a partials -> partials "
+                "combiner; final_fn's output schema usually differs)"
+            )
+        target = 0
+        try:
+            target = int(ds._plan.initial_num_blocks())
+        except Exception:
+            pass
+        for _ in range(fold_rounds):
+            target = max(8, target // 8)
+            partials = partials.repartition(target).map_batches(
+                combine_fn, batch_format="pandas", batch_size=None
+            )
     return partials.repartition(1).map_batches(
         final_fn, batch_format="pandas", batch_size=None
     )

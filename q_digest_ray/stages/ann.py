@@ -50,7 +50,12 @@ def brute_force_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 
             if t.num_rows > k:
                 import pyarrow.compute as pc
 
-                idx = pc.select_k_unstable(t, k=k, sort_keys=[("cos_sim", "descending")])
+                # id tie-break must match the final sort (and the SQL
+                # oracle's ORDER BY cos DESC, id ASC) — without it the
+                # correct row can be discarded in the batch prune
+                idx = pc.select_k_unstable(
+                    t, k=k, sort_keys=[("cos_sim", "descending"), (id_col, "ascending")]
+                )
                 t = t.take(idx)
             return t
 

@@ -75,8 +75,8 @@ class SketchSpec:
     salt: int = 0
     # weighted inserts (reference insert(key, count), src/qcore.c:201): each
     # row's value counts weight_column times — the pre-aggregated-histogram
-    # path for qdigest/kll/tdigest/cms/mg (hashing sketches reject weights:
-    # distinctness/membership is weight-free)
+    # path for qdigest/kll/tdigest/cms/mg (distinctness/membership sketches
+    # — hll/bloom/kmv — reject weights: they are weight-free by definition)
     weight_column: str | None = None
 
     def make(self):
@@ -122,15 +122,19 @@ class SketchBuilder:
             hashing = spec.kind in self._HASHING_KINDS
             w_np = None
             if spec.weight_column is not None:
-                if hashing:
+                if hashing and spec.kind != "cms":
+                    # distinctness/membership sketches are weight-free;
+                    # CMS is a frequency sketch and takes weighted updates
                     raise ValueError(
-                        f"{spec.kind} is a hashing sketch — weights undefined"
+                        f"{spec.kind} is a distinctness sketch — weights undefined"
                     )
                 wcol = batch[spec.weight_column]
                 w_np = wcol.to_numpy(zero_copy_only=False)
             if spec.group_by is None:
                 sk = spec.make()
-                if hashing:
+                if hashing and w_np is not None:
+                    sk.update_hashed(column_hashes(spec.column), weights=w_np)
+                elif hashing:
                     sk.update_hashed(column_hashes(spec.column))
                 elif w_np is not None:
                     sk.update_batch(_column_values(col, spec.kind), weights=w_np)
@@ -178,7 +182,9 @@ class SketchBuilder:
                         sel = valid_idx[sel]  # back to full-column positions
                     g = sorted_codes[starts[gi]]
                     sk = spec.make()
-                    if hashing:
+                    if hashing and w_np is not None:
+                        sk.update_hashed(column_hashes(spec.column)[sel], weights=w_np[sel])
+                    elif hashing:
                         sk.update_hashed(column_hashes(spec.column)[sel])
                     elif w_np is not None:
                         sk.update_batch(col_np[sel], weights=w_np[sel])

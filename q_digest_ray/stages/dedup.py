@@ -470,14 +470,25 @@ def minhash_dup_groups(
 
 
 def simhash_dup_pairs(
-    ds, id_col: str, text_col: str, max_hamming: int = 3, num_buckets: int | None = None
+    ds,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    num_buckets: int | None = None,
+    max_bucket: int = 4096,
 ) -> pd.DataFrame:
     """SimHash near-dup pairs: pigeonhole on four 16-bit chunks → candidate
     generation AND exact Hamming verification both inside the chunk-bucket
     ``map_groups`` (signatures ride along with the bucket rows, so no
     driver-side signature table).  With max_hamming <= 3, any true pair
     shares at least one identical chunk, so recall is exact; a pair found in
-    several chunks is deduped at collection (pairs are tiny)."""
+    several chunks is deduped at collection (pairs are tiny).
+
+    Degenerate chunk keys (boilerplate/empty docs share a chunk value):
+    groups above ``max_bucket`` members fall back to signature-sorted chain
+    comparison — identical signatures stay adjacent so exact-dup classes
+    keep hamming-0 links, merely-similar pairs in such a bucket may be
+    missed (the same O(m) vs O(m^2) trade minhash_dup_groups makes)."""
 
     B = num_buckets or derive_buckets(ds)
 
@@ -515,6 +526,18 @@ def simhash_dup_pairs(
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             sigs = grp["sig"].to_numpy().view(np.uint64)
+            if len(ids) > max_bucket:
+                # degenerate chunk bucket: signature-sorted chain, O(m)
+                order = np.lexsort((ids, sigs))
+                ids, sigs = ids[order], sigs[order]
+                d = hamming64(sigs[:-1], sigs[1:])
+                ok = d <= max_hamming
+                a = np.minimum(ids[:-1][ok], ids[1:][ok])
+                b = np.maximum(ids[:-1][ok], ids[1:][ok])
+                rows_a.extend(a.tolist())
+                rows_b.extend(b.tolist())
+                rows_d.extend(d[ok].tolist())
+                continue
             for i in range(len(ids)):
                 d = hamming64(np.full(len(ids) - i - 1, sigs[i], np.uint64), sigs[i + 1 :])
                 ok = d <= max_hamming
@@ -540,30 +563,50 @@ def simhash_dup_pairs(
 
 
 def embedding_dup_pairs(
-    ds, id_col: str, vec_col: str, threshold: float = 0.95, planes: int = 12, seed: int = 5
+    ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 5,
+    num_tables: int = 4,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets:
-    vectors in the same bucket are verified with an exact cosine (all-pairs
-    within bucket).  Bucket count 2**planes bounds the verify fan-in."""
+    """Embedding-cosine near-dup pairs via MULTI-TABLE random-hyperplane LSH.
+
+    One table of p hyperplanes catches a pair at cosine t with probability
+    (1 - theta/pi)^p (theta = arccos t); T independent tables raise recall
+    to 1 - (1 - (1-theta/pi)^p)^T.  At the 0.95 default (theta ~= 18 deg,
+    ~0.90 per plane) the defaults 8 planes x 4 tables give ~0.90 recall —
+    the r1 single 12-plane table silently capped recall at ~0.28 (r2
+    self-review finding).  Exact-cosine verification is all-pairs inside
+    each (table, bucket) group; fan-in bounded by 2^planes per table, and
+    a pair found by several tables dedups at collection.  Vectors ride the
+    shuffle once per table (T x volume — the recall/IO knob)."""
+    from q_digest_ray.stages.ann import _matrix, _normalize, _signatures
+
+    empty_schema = pa.schema(
+        [("id", pa.int64()), ("bucket", pa.int64()), ("vec", pa.list_(pa.float64()))]
+    )
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        col = batch[vec_col].combine_chunks() if isinstance(batch[vec_col], pa.ChunkedArray) else batch[vec_col]
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(batch)
-        dim = len(flat) // max(n, 1) if n else 0
-        m = flat.reshape(n, dim) if n else np.zeros((0, 0))
+        m = _normalize(_matrix(batch[vec_col]))
+        n = len(m)
+        if n == 0 or m.shape[1] == 0:
+            return empty_schema.empty_table()
         rng = np.random.default_rng(seed)
-        h = rng.normal(size=(dim, planes)) if n else None
-        signs = (m @ h > 0).astype(np.uint32) if n else np.zeros((0, planes), np.uint32)
-        bucket = (signs << np.arange(planes, dtype=np.uint32)[None, :]).sum(axis=1)
-        norms = np.linalg.norm(m, axis=1) if n else np.zeros(0)
-        return pa.table(
-            {
-                "id": batch[id_col],
-                "bucket": pa.array(bucket.astype(np.int64)),
-                "vec": pa.array(list(m / np.where(norms == 0, 1, norms)[:, None])),
-            }
-        )
+        tables = []
+        ids = batch[id_col].cast(pa.int64())
+        vec = pa.array(list(m), pa.list_(pa.float64()))
+        for t in range(num_tables):
+            h = rng.normal(size=(m.shape[1], planes))  # per-table planes,
+            # deterministic across batches (fresh rng, sequential draws)
+            sig = _signatures(m, h).astype(np.int64)
+            tables.append(
+                pa.table(
+                    {"id": ids, "bucket": pa.array(sig + (t << planes)), "vec": vec}
+                )
+            )
+        return pa.concat_tables(tables)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # all-pairs exact cosine inside one LSH bucket (distributed verify)

@@ -86,14 +86,23 @@ def text_len_from_html(html: pa.ChunkedArray | pa.Array) -> np.ndarray:
     ].astype(np.int64)
     if len(html) == 0:
         return np.zeros(0, dtype=np.int64)
+    def _fallback() -> np.ndarray:
+        # extract_text yields null for unparseable rows → length 0
+        lens = pc.fill_null(pc.utf8_length(extract_text(html)), 0)
+        return lens.to_numpy(zero_copy_only=False).astype(np.int64)
+
     if find.min() < 0:
-        return pc.utf8_length(extract_text(html)).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _fallback()
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     lo, hi = int(offsets[0]), int(offsets[-1])
     seg = data[lo:hi]
     starts = offsets[:-1] - lo + find + len(_BODY_MARK)
     ends = offsets[1:] - lo - len(_TAIL_MARK)
     byte_lens = ends - starts
+    if len(byte_lens) and byte_lens.min() < 0:
+        # marker present but tail truncated → negative span; same guard as
+        # extract_text (a bare result would crash / poison the sketches)
+        return _fallback()
     if len(seg) == 0 or int(seg.max()) < 0x80:
         return byte_lens  # pure ascii: chars == bytes, zero extra passes
     # utf8 char count = byte count - continuation bytes (0b10xxxxxx) in range;

@@ -82,15 +82,35 @@ def bucketed_join(
     rt = right.map_batches(tag("r", right_on), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["__side"] == "l"
-        lf = g.loc[lmask, [f"l:{c}" for c in lcols]].rename(
-            columns={f"l:{c}": c for c in lcols}
+    pa_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join: a pandas merge would upcast
+        # null-padded int64 columns (including the KEYS) to float64, which
+        # silently corrupts keys above 2^53 and can produce spurious
+        # matches; pyarrow's hash join keeps exact int64 end to end
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["__side"], pa.scalar("l"))
+        lf = g.filter(lmask).select([f"l:{c}" for c in lcols]).rename_columns(lcols)
+        rf = (
+            g.filter(pc.invert(lmask))
+            .select([f"r:{c}" for c in rcols])
+            .rename_columns(rcols)
         )
-        rf = g.loc[~lmask, [f"r:{c}" for c in rcols]].rename(
-            columns={f"r:{c}": c for c in rcols}
-        )
-        joined = lf.merge(rf, left_on=on, right_on=right_on, how=how)
+        if right_on != on:
+            # pyarrow drops the right key column; keep the historical
+            # contract of retaining both by carrying a copy through
+            rf = rf.append_column("__rk_copy", rf[right_on])
+        joined = lf.join(rf, keys=[on], right_keys=[right_on], join_type=pa_how)
+        if right_on != on:
+            names = [right_on if c == "__rk_copy" else c for c in joined.schema.names]
+            joined = joined.rename_columns(names)
         return joined
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

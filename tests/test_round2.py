@@ -728,3 +728,136 @@ def test_fixedpoint_property_vs_duckdb():
         got = duckdb_round_double(float(x), 4)
         exp = con.execute(f"SELECT round({float(x)!r}::DOUBLE, 4)").fetchone()[0]
         assert got == exp, (x, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# third review pass: join precision, tie-breaks, degenerate buckets, recall
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_exact_above_2_53(ray_session):
+    """pandas merge after float64 null-upcast rounds 2^53+1 and 2^53+2 to
+    the same value; the Arrow-native bucket join must stay exact."""
+    import ray.data
+
+    from q_digest_ray.stages.join import bucketed_join
+
+    k1, k2 = (1 << 53) + 1, (1 << 53) + 2
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([k1, k2], pa.int64()), "lv": [1.0, 2.0]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([k1], pa.int64()), "rv": [10]})
+    )
+    got = bucketed_join(left, right, on="k", right_on="rk", num_buckets=4).to_pandas()
+    assert len(got) == 1 and int(got["k"].iloc[0]) == k1 and int(got["rv"].iloc[0]) == 10
+
+
+def test_brute_force_topk_tie_break(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.ann import brute_force_topk
+
+    # two identical vectors (cos tie); lower id must win at k=1 even when
+    # it appears later in the batch
+    df = pd.DataFrame(
+        {"vid": np.array([5, 1], dtype="int64"), "v": [[1.0, 0.0], [1.0, 0.0]]}
+    )
+    out = brute_force_topk(ray.data.from_pandas(df), "vid", "v", np.array([1.0, 0.0]), k=1)
+    assert int(out["vid"].iloc[0]) == 1
+
+
+def test_simhash_degenerate_bucket_bounded(ray_session):
+    import time
+
+    import ray.data
+
+    from q_digest_ray.stages.dedup import simhash_dup_pairs
+
+    n = 3000
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype="int64"), "text": ["same tiny doc"] * n}
+    )
+    t0 = time.time()
+    out = simhash_dup_pairs(
+        ray.data.from_pandas(docs), "doc_id", "text", max_bucket=256
+    )
+    elapsed = time.time() - t0
+    # chain on identical signatures: n-1 hamming-0 links, not ~n^2/2 pairs
+    assert len(out) == n - 1
+    assert (out["hamming"] == 0).all()
+    assert elapsed < 60, elapsed
+
+
+def test_embedding_dup_pairs_multi_table_recall(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 24))
+    # plant 10 near-dup pairs at cos >= 0.95
+    vecs = list(base)
+    for i in range(10):
+        v = base[i] / np.linalg.norm(base[i])
+        noise = rng.normal(size=24) * 0.05
+        vecs.append(v + noise)
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    out = embedding_dup_pairs(
+        ray.data.from_pandas(df), "vid", "v", threshold=0.95
+    )
+    found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    planted = {(i, 40 + i) for i in range(10)}
+    # compute which planted pairs actually clear the threshold (noise varies)
+    import numpy.linalg as la
+
+    truly = set()
+    for i in range(10):
+        a, b = np.array(vecs[i]), np.array(vecs[40 + i])
+        if a @ b / (la.norm(a) * la.norm(b)) >= 0.95:
+            truly.add((i, 40 + i))
+    assert len(truly) >= 5
+    recall = len(found & truly) / len(truly)
+    assert recall >= 0.8, (recall, len(truly))
+
+
+def test_cms_weighted_build_and_validation(ray_session):
+    import ray.data
+
+    from q_digest_ray.sketches.cms import CountMinSketch
+    from q_digest_ray.stages.build import SketchSpec, build_sketches
+    from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+
+    with pytest.raises(ValueError):
+        CountMinSketch().update_batch(np.array([1]), weights=np.array([-5]))
+    df = pd.DataFrame(
+        {"v": np.array([1, 2, 1], dtype="int64"), "w": np.array([10, 5, 2], dtype="int64")}
+    )
+    rows = build_sketches(
+        ray.data.from_pandas(df), [SketchSpec("c", "v", "cms", weight_column="w")]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("c", "")]
+    assert int(sk.query(np.array([1]))[0]) >= 12  # CMS never undercounts
+    assert sk.n == 17
+
+
+def test_text_len_negative_span_guarded():
+    from q_digest_ray.stages.extract import text_len_from_html
+
+    good = b"<html><head></head><body><p>hello world</p></body></html>"
+    truncated = b"<html><head></head><body><p>x"  # marker, no tail
+    lens = text_len_from_html(pa.array([good, truncated], pa.binary()))
+    assert lens[0] == len("hello world")
+    assert lens[1] >= 0  # r2 bug: returned a negative length
+
+
+def test_two_phase_fold_requires_combine_fn(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.agg import two_phase
+
+    ds = ray.data.range(100)
+    with pytest.raises(ValueError, match="combine_fn"):
+        two_phase(ds, lambda b: b, lambda df: df, fold_rounds=2).to_pandas()

@@ -551,40 +551,22 @@ def ann_topk(sf_dir: str):
         sf_dir, "embeddings", columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)]
     )
     qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
-    qref = ray.put(qvec / np.linalg.norm(qvec))
-
-    class CosTopK:
-        def __init__(self):
-            self.q = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch["embedding"].combine_chunks()
-            dim = len(self.q)
-            m = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
-            norms = np.linalg.norm(m, axis=1)
-            cos = (m @ self.q) / np.where(norms == 0, 1.0, norms)
-            t = pa.table(
-                {"vec_id": batch["vec_id"], "cos_sim": pa.array(cos)}
-            )
-            mask = pc.not_equal(t["vec_id"], pa.scalar(0))
-            t = t.filter(mask)
-            # per-batch top-k prune before the global sort; vec_id tie-break
-            # must match the oracle's ORDER BY cos DESC, vec_id ASC
-            if t.num_rows > 10:
-                idx = pc.select_k_unstable(
-                    t, k=10, sort_keys=[("cos_sim", "descending"), ("vec_id", "ascending")]
-                )
-                t = t.take(idx)
-            return t
+    from q_digest_ray.stages.ann import brute_force_topk
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    top = (
-        ds.map_batches(CosTopK, batch_format="pyarrow", concurrency=pool_limits())
-        .sort(["cos_sim", "vec_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["vec_id"], pa.scalar(0)))
+
+    # shared helper carries the per-batch prune + final sort with the
+    # vec_id tie-break matching the oracle's ORDER BY cos DESC, vec_id ASC
+    top = brute_force_topk(
+        ds.map_batches(drop_query, batch_format="pyarrow"),
+        "vec_id",
+        "embedding",
+        qvec,
+        k=10,
     )
-    top["cos_sim"] = top["cos_sim"].round(6)
     return top[["vec_id", "cos_sim"]].reset_index(drop=True)
 
 

@@ -124,7 +124,7 @@ def run_scaling() -> dict:
     scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
 
     from q_digest_ray.sources.cc_pages import synthesize
 

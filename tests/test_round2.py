@@ -861,3 +861,51 @@ def test_two_phase_fold_requires_combine_fn(ray_session):
     ds = ray.data.range(100)
     with pytest.raises(ValueError, match="combine_fn"):
         two_phase(ds, lambda b: b, lambda df: df, fold_rounds=2).to_pandas()
+
+
+def test_weighted_merge_order_invariance():
+    """Weighted partials must merge associatively: MG counters are exactly
+    permutation-invariant (below k no shrink happens); weighted KLL keeps
+    its rank bound under every merge order."""
+    import itertools
+
+    from q_digest_ray.sketches.kll import KLL
+
+    rng = np.random.default_rng(21)
+    parts = []
+    all_vals, all_wts = [], []
+    for i in range(4):
+        v = rng.normal(size=100)
+        w = rng.integers(1, 6, size=100)
+        parts.append((v, w))
+        all_vals.append(v)
+        all_wts.append(w)
+    full = np.sort(np.repeat(np.concatenate(all_vals), np.concatenate(all_wts)))
+
+    # MG: exact permutation invariance
+    mgs = []
+    for v, w in parts:
+        m = MisraGries(k=64)
+        m.update_batch(np.round(v, 1).astype(str), weights=w)
+        mgs.append(m)
+    results = []
+    for perm in itertools.permutations(range(4)):
+        acc = MisraGries(k=64)
+        for i in perm:
+            clone = MisraGries.from_bytes(mgs[i].to_bytes())
+            acc.merge(clone)
+        results.append((acc.n, tuple(sorted(acc.counters.items()))))
+    assert len(set(results)) == 1
+
+    # KLL: bound holds for several merge orders
+    for perm in [(0, 1, 2, 3), (3, 2, 1, 0), (2, 0, 3, 1)]:
+        acc = None
+        for i in perm:
+            s = KLL(k=200, seed=3)
+            s.update_batch(parts[i][0], weights=parts[i][1])
+            acc = s if acc is None else acc.merge(s)
+        assert acc.n == len(full)
+        for p in (0.25, 0.5, 0.9):
+            q = acc.quantile(p)
+            true_rank = np.searchsorted(full, q, side="right") / len(full)
+            assert abs(true_rank - p) < 0.08, (perm, p)

@@ -114,27 +114,74 @@ def winnow_fingerprints(
 ) -> list[np.ndarray]:
     """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, keep the
     min hash of each sliding window → a compact, position-robust
-    fingerprint set per document."""
+    fingerprint set per document.
+
+    Fully vectorized ACROSS docs (the r2 per-doc loop cost ~65k Python
+    iterations per 65k-row batch): flat k-gram rolling hashes with
+    doc-boundary masking (the shingle_hashes offsets pattern), ONE global
+    sliding-window min over the flat gram array with windows masked to doc
+    boundaries, then per-doc unique via a single lexsort.  Per-doc
+    semantics unchanged: docs with < k tokens keep their per-token hashes,
+    docs with <= window k-grams keep every gram hash, deeper docs keep
+    each window's min."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    out: list[np.ndarray] = []
     toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
     flat_h = hash64(toks.flatten())
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = offs - offs[0]
-    for d in range(len(texts)):
-        h = flat_h[offs[d] : offs[d + 1]]
-        if len(h) < k:
-            out.append(np.unique(splitmix64(h)) if len(h) else np.empty(0, np.uint64))
-            continue
-        # k-gram rolling hashes via stride trick
-        m = np.lib.stride_tricks.sliding_window_view(h, k)
-        acc = np.zeros(len(m), dtype=np.uint64)
-        for j in range(k):
-            acc = splitmix64(acc * np.uint64(0x100000001B3) + m[:, j])
-        if len(acc) <= window:
-            out.append(np.unique(acc))
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(acc, window)
-            out.append(np.unique(w.min(axis=1)))
-    return out
+    n = len(texts)
+    tok_counts = offs[1:] - offs[:-1]
+    PRIME = np.uint64(0x100000001B3)
+
+    short = tok_counts < k
+    g_counts = np.where(short, 0, tok_counts - (k - 1)).astype(np.int64)
+    g_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(g_counts, out=g_off[1:])
+    total_g = int(g_off[-1])
+    doc_of_g = np.repeat(np.arange(n), g_counts)
+    rank = np.arange(total_g, dtype=np.int64) - g_off[:-1][doc_of_g]
+    starts = offs[:-1][doc_of_g] + rank
+    acc = np.zeros(total_g, dtype=np.uint64)
+    for j in range(k):
+        acc = splitmix64(acc * PRIME + flat_h[starts + j])
+
+    vals_parts: list[np.ndarray] = []
+    docs_parts: list[np.ndarray] = []
+    if short.any():
+        doc_of_tok = np.repeat(np.arange(n), tok_counts)
+        m = short[doc_of_tok]
+        vals_parts.append(splitmix64(flat_h[m]))
+        docs_parts.append(doc_of_tok[m])
+    medium = (~short) & (g_counts <= window)
+    if medium.any():
+        m = medium[doc_of_g]
+        vals_parts.append(acc[m])
+        docs_parts.append(doc_of_g[m])
+    deep = g_counts > window
+    if deep.any():
+        # one global window-min; a window starting at flat gram position p
+        # belongs to doc d iff p .. p+window-1 stay inside d's gram range —
+        # enforced by generating only the in-doc window start positions
+        sm = np.lib.stride_tricks.sliding_window_view(acc, window).min(axis=1)
+        w_counts = np.where(deep, g_counts - window + 1, 0).astype(np.int64)
+        doc_of_w = np.repeat(np.arange(n), w_counts)
+        w_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(w_counts, out=w_off[1:])
+        rank_w = np.arange(int(w_off[-1]), dtype=np.int64) - w_off[:-1][doc_of_w]
+        pos = g_off[:-1][doc_of_w] + rank_w
+        vals_parts.append(sm[pos])
+        docs_parts.append(doc_of_w)
+    if not vals_parts:
+        return [np.empty(0, np.uint64) for _ in range(n)]
+    vals = np.concatenate(vals_parts)
+    docs = np.concatenate(docs_parts)
+    order = np.lexsort((vals, docs))
+    vals, docs = vals[order], docs[order]
+    keep = np.ones(len(vals), dtype=bool)
+    keep[1:] = (vals[1:] != vals[:-1]) | (docs[1:] != docs[:-1])
+    vals, docs = vals[keep], docs[keep]
+    counts = np.bincount(docs, minlength=n)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return [vals[bounds[d] : bounds[d + 1]] for d in range(n)]

@@ -253,7 +253,10 @@ def dedup_exact(sf_dir: str, num_buckets: int | None = None):
         g = t.group_by(["h", "h2", "bucket"]).aggregate(
             [("doc_id", "min"), ("doc_id", "count")]
         )
-        return g.rename_columns(["h", "h2", "bucket", "doc_id_min", "doc_id_count"])
+        # select by the aggregate's GENERATED names — column order of
+        # group_by output is not a stable pyarrow contract, so a positional
+        # rename could silently swap hash and count columns across versions
+        return g.select(["h", "h2", "bucket", "doc_id_min", "doc_id_count"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["h", "h2"], as_index=False, sort=False).agg(
@@ -336,12 +339,16 @@ def events_hourly(sf_dir: str):
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(s_value=df["s_value"].astype(object))  # overflow-proof
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("n_events", "sum"), s_value=("s_value", "sum")
         )
+        # exact int cents → double INSIDE final: the result still crosses
+        # one Arrow block conversion, where an object int above 2^63 would
+        # raise OverflowError (pricing_summary rule)
+        g["sum_value"] = (g["s_value"] / 100.0).astype("float64")
+        return g.drop(columns=["s_value"])
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = (df["s_value"] / 100.0).astype("float64")  # exact cents
     df["n_events"] = df["n_events"].astype("int64")
     # emit the window as a string so value comparison is unit-independent
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
@@ -827,12 +834,15 @@ def events_sliding(sf_dir: str):
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(s_value=df["s_value"].astype(object))  # overflow-proof
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("n_events", "sum"), s_value=("s_value", "sum")
         )
+        # exact int cents → double inside final (see events_hourly): an
+        # object int above 2^63 would overflow the Arrow conversion after
+        g["sum_value"] = (g["s_value"] / 100.0).astype("float64")
+        return g.drop(columns=["s_value"])
 
     df = two_phase(ds, partial, final).to_pandas()
-    df["sum_value"] = (df["s_value"] / 100.0).astype("float64")  # exact cents
     df["n_events"] = df["n_events"].astype("int64")
     df["window_start"] = pd.to_datetime(df["window_start"]).dt.strftime("%Y-%m-%d %H:%M:%S")
     return (
@@ -1308,11 +1318,40 @@ def sk_bloom_membership(sf_dir: str):
         [SketchSpec("src1_bloom", "doc_id", "bloom", {"num_bits": 1 << 16, "num_hashes": 7})],
     )
     bloom = collect_sketches(merge_grouped(rows))[("src1_bloom", "")]
-    all_ids = read_table_arrow(sf_dir, "documents", columns=["doc_id"])["doc_id"]
-    hits = bloom.contains(all_ids.combine_chunks())
-    return pd.DataFrame(
-        {"n_probed": [len(hits)], "n_hits": [int(hits.sum())], "n_inserted": [bloom.n]}
+    # probe DISTRIBUTED: the merged Bloom (O(num_bits) bytes) broadcasts
+    # once via ray.put and every batch probes locally — state moves, data
+    # doesn't (the reference ships serialized sketches the same way,
+    # mpi-implementation/src/main.c:51-58).  Reading the doc_id column onto
+    # the driver would materialize ~8 TB at 10^12 rows (r2 VERDICT item 1).
+    bloom_ref = ray.put(bloom)
+
+    class Prober:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            hits = self.bloom.contains(ids)
+            return pd.DataFrame({"n": [len(hits)], "h": [int(hits.sum())]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_probed": [int(df["n"].sum())],
+                "n_hits": [int(df["h"].sum())],
+                "n_inserted": [bloom.n],
+            }
+        )
+
+    probe_ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    partials = probe_ds.map_batches(
+        Prober, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
     )
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    ).to_pandas()
 
 
 def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):

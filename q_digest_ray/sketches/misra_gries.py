@@ -63,6 +63,8 @@ class MisraGries(Sketch):
         vectorized before the dict merge."""
         if weights is not None:
             w = np.asarray(weights, dtype=np.int64)
+            if len(w) != len(values):
+                raise ValueError("weights must align with values")
             if w.size and w.min() < 0:
                 raise ValueError("weights must be non-negative")
             if isinstance(values, pa.ChunkedArray):

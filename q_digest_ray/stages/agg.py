@@ -44,11 +44,9 @@ def two_phase(
                 "fold_rounds > 0 requires combine_fn (a partials -> partials "
                 "combiner; final_fn's output schema usually differs)"
             )
-        target = 0
-        try:
-            target = int(ds._plan.initial_num_blocks())
-        except Exception:
-            pass
+        from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+        target = estimate_num_blocks(ds)
         for _ in range(fold_rounds):
             target = max(8, target // 8)
             partials = partials.repartition(target).map_batches(

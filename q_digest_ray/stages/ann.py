@@ -115,7 +115,10 @@ def lsh_topk(
                 )
             cos = m[keep] @ self.q
             ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
-            order = np.argsort(-cos)[:k]
+            # id-ascending tie-break matches the final sort (cos desc, id
+            # asc) — a bare argsort could drop the row the final sort would
+            # keep on a cosine tie at the k boundary (brute_force_topk rule)
+            order = np.lexsort((ids, -cos))[:k]
             # scanned emitted ONCE per batch (first row) so the sum is the
             # true candidate count, not k x it
             scanned_col = np.zeros(len(order), dtype=np.int64)
@@ -258,7 +261,10 @@ def ivf_topk(
                 )
             cos = m[keep] @ self.q
             ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
-            order = np.argsort(-cos)[:k]
+            # id-ascending tie-break matches the final sort (cos desc, id
+            # asc) — a bare argsort could drop the row the final sort would
+            # keep on a cosine tie at the k boundary (brute_force_topk rule)
+            order = np.lexsort((ids, -cos))[:k]
             scanned_col = np.zeros(len(order), dtype=np.int64)
             scanned_col[0] = scanned
             return pa.table(

@@ -278,12 +278,15 @@ def jaccard_verify(
                     "text_a": pd.Series(dtype="object"),
                 }
             )
+        # the union group upcasts a/b/id to float64 (each side carries the
+        # other's nulls) — merge on nullable Int64 so keys compare as exact
+        # integers (float64 keys would silently mis-join ids above 2^53)
+        p = p.assign(a=p["a"].astype("Int64"), b=p["b"].astype("Int64"))
+        t = t.assign(id=t["id"].astype("Int64"))
         m = p[["a", "b"]].merge(
             t[["id", "text"]].drop_duplicates("id"), left_on="a", right_on="id"
         )
         m = m.rename(columns={"text": "text_a"})[["a", "b", "text_a"]]
-        # the union group upcasts a/b to float64 (corpus rows carry nulls);
-        # restore int64 so downstream hashing sees integer bit patterns
         return m.astype({"a": "int64", "b": "int64"})
 
     def pair_rows_b(batch: pa.Table) -> pa.Table:
@@ -316,6 +319,10 @@ def jaccard_verify(
                     "jaccard": pd.Series(dtype="float64"),
                 }
             )
+        # same exact-integer-key rule as join_a (ids above 2^53 would
+        # mis-join on the float64-upcast key columns)
+        p = p.assign(a=p["a"].astype("Int64"), b=p["b"].astype("Int64"))
+        t = t.assign(id=t["id"].astype("Int64"))
         m = p[["a", "b", "text_a"]].merge(
             t[["id", "text"]].drop_duplicates("id"), left_on="b", right_on="id"
         )
@@ -570,6 +577,7 @@ def embedding_dup_pairs(
     planes: int = 8,
     seed: int = 5,
     num_tables: int = 4,
+    max_bucket: int = 4096,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs via MULTI-TABLE random-hyperplane LSH.
 
@@ -579,8 +587,10 @@ def embedding_dup_pairs(
     ~0.90 per plane) the defaults 8 planes x 4 tables give ~0.90 recall —
     the r1 single 12-plane table silently capped recall at ~0.28 (r2
     self-review finding).  Exact-cosine verification is all-pairs inside
-    each (table, bucket) group; fan-in bounded by 2^planes per table, and
-    a pair found by several tables dedups at collection.  Vectors ride the
+    each (table, bucket) group; groups above ``max_bucket`` members fall
+    back to a quantized-vector-sorted chain (O(m), exact-dup classes stay
+    connected — the minhash/simhash degenerate-bucket rule), and a pair
+    found by several tables dedups at collection.  Vectors ride the
     shuffle once per table (T x volume — the recall/IO knob)."""
     from q_digest_ray.stages.ann import _matrix, _normalize, _signatures
 
@@ -614,6 +624,28 @@ def embedding_dup_pairs(
             return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
         m = np.stack(g["vec"].to_numpy())
         ids = g["id"].to_numpy()
+        if len(g) > max_bucket:
+            # degenerate bucket (boilerplate/zero vectors collapse many
+            # near-identical embeddings into one signature): O(m) chain
+            # instead of O(m^2) pairs, sorted by a quantized-vector hash +
+            # id so IDENTICAL vectors stay adjacent — their chain links
+            # verify at cosine 1.0 and keep exact-dup classes connected
+            # (the same trade minhash/simhash buckets make; merely-similar
+            # pairs in such a bucket may be missed, other tables usually
+            # recover them)
+            qv = np.round(m * 1e6).astype(np.int64).view(np.uint64)
+            key = np.zeros(len(m), dtype=np.uint64)
+            for d in range(qv.shape[1]):
+                key = splitmix64(key * np.uint64(0x100000001B3) + qv[:, d])
+            order = np.lexsort((ids, key))
+            m, ids = m[order], ids[order]
+            cos = np.einsum("ij,ij->i", m[:-1], m[1:])
+            ok = cos >= threshold
+            a = np.minimum(ids[:-1][ok], ids[1:][ok])
+            b = np.maximum(ids[:-1][ok], ids[1:][ok])
+            return pd.DataFrame(
+                {"id_a": a, "id_b": b, "cos_sim": np.round(cos[ok], 4)}
+            )
         cos = m @ m.T
         iu, ju = np.triu_indices(len(g), k=1)
         ok = cos[iu, ju] >= threshold

@@ -131,7 +131,9 @@ def merge_grouped(
     combiner bounds the final input at num_blocks x groups tiny rows.
 
     ``fold_rounds=None`` (default) auto-derives the intermediate rounds from
-    the plan's block count so the final combine task never sees more than
+    a public-API block-count estimate (partitioning.estimate_num_blocks;
+    file count ~= block count at production scale) so the final combine
+    task never sees more than
     ~512 combined blocks: 0 rounds below that, one 8x coalesce round per
     factor of 8 above it (a 1M-block input gets 4 rounds).  Pass an int to
     override.
@@ -140,11 +142,9 @@ def merge_grouped(
     right shape only when group cardinality itself is huge (e.g. per-host
     sketches over millions of hosts).
     """
-    nb = 0
-    try:
-        nb = int(sketch_rows_ds._plan.initial_num_blocks())
-    except Exception:
-        pass
+    from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+    nb = estimate_num_blocks(sketch_rows_ds)
     if fold_rounds is None:
         fold_rounds, t = 0, nb
         while t > 512:

@@ -50,6 +50,35 @@ def _pow2(b: int) -> int:
     return 1 << max(0, int(b) - 1).bit_length()
 
 
+def estimate_num_blocks(ds) -> int:
+    """Pre-execution block-count estimate through PUBLIC Dataset APIs only.
+
+    Drives the auto-derived tree-fold depth in stages/merge.merge_grouped /
+    stages/agg.two_phase (how many 8x coalesce rounds before the final
+    combine task).  The r2 code read ``ds._plan.initial_num_blocks()`` — a
+    private attribute a Ray upgrade could silently remove, disabling the
+    auto-fold (r2 VERDICT item 8).  Public signals, in order:
+
+    - ``ds.num_blocks()`` — exact, but only for MaterializedDataset;
+    - ``len(ds.input_files())`` — metadata-only for parquet-backed lineage;
+      with production-sized files (the 100-TB case, where fold depth
+      actually matters) file count ~= block count.  NOT ``size_bytes()``,
+      which EXECUTES transformed datasets.
+
+    The estimate only needs the right order of magnitude: fold rounds are
+    log8 of it, and +-1 round is harmless (each round is a cheap coalesce
+    of tiny pre-combined rows).
+    """
+    try:
+        return int(ds.num_blocks())
+    except Exception:
+        pass
+    try:
+        return len(ds.input_files() or [])
+    except Exception:
+        return 0
+
+
 def pool_limits(cap: int | None = None) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster, not a constant.
 

@@ -1,8 +1,8 @@
 """Round-2 regression tests: ADVICE.md fixes (hash null/float32 layout
 invariance, Misra-Gries threshold guarantee, QDigest ValueError) and
-VERDICT.md items (size-derived bucket counts with B-invariant results,
-distributed Jaccard verification, degenerate LSH buckets, bucketed as-of
-join)."""
+VERDICT.md items (distributed Jaccard verification, degenerate LSH
+buckets, bucketed as-of join).  B-invariance property tests live in
+tests/test_bucketing.py."""
 
 import numpy as np
 import pandas as pd
@@ -94,52 +94,10 @@ def test_qdigest_from_text_corrupt_raises_valueerror():
 # ---------------------------------------------------------------------------
 
 
-def test_derive_buckets_scales_with_size():
-    assert derive_buckets(size_bytes=0) == 8
-    assert derive_buckets(size_bytes=10 << 30) == 16
-    assert derive_buckets(size_bytes=100 << 40) >= 1 << 17 or derive_buckets(
-        size_bytes=100 << 40
-    ) == 1 << 17  # clamped at max
-    b = derive_buckets(size_bytes=37 << 30)
-    assert b & (b - 1) == 0  # power of two
-
-
 def test_pool_limits_sized_to_cluster(ray_session):
     lo, hi = pool_limits()
     assert lo == 1 and hi >= 2
     assert pool_limits(cap=2)[1] == 2
-
-
-# ---------------------------------------------------------------------------
-# B-invariance of bucketed operators (VERDICT item 4)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("B", [8, 32, 128])
-def test_bucketed_queries_b_invariant(ray_session, sf_dir, B):
-    from q_digest_ray.pipelines.queries import (
-        asof_join_orders,
-        dedup_exact,
-        distinct_text_count,
-        sessionize,
-    )
-
-    base = {
-        "dedup": dedup_exact(sf_dir, num_buckets=32),
-        "distinct": distinct_text_count(sf_dir, num_buckets=32),
-        "sessionize": sessionize(sf_dir, num_buckets=32),
-        "asof": asof_join_orders(sf_dir, num_buckets=32),
-    }
-    got = {
-        "dedup": dedup_exact(sf_dir, num_buckets=B),
-        "distinct": distinct_text_count(sf_dir, num_buckets=B),
-        "sessionize": sessionize(sf_dir, num_buckets=B),
-        "asof": asof_join_orders(sf_dir, num_buckets=B),
-    }
-    for name in base:
-        pd.testing.assert_frame_equal(
-            base[name].reset_index(drop=True), got[name].reset_index(drop=True)
-        )
 
 
 # ---------------------------------------------------------------------------
@@ -465,14 +423,6 @@ def test_sketchspec_weight_column_rejects_hashing():
     builder = SketchBuilder([SketchSpec("x", "v", "hll", weight_column="w")])
     with pytest.raises(ValueError):
         builder(batch)
-
-
-def test_customer_nation_revenue_b_invariant(ray_session, sf_dir):
-    from q_digest_ray.pipelines.queries import customer_nation_revenue
-
-    a = customer_nation_revenue(sf_dir, num_buckets=8)
-    b = customer_nation_revenue(sf_dir, num_buckets=64)
-    pd.testing.assert_frame_equal(a, b)
 
 
 def test_sk_kll_weighted_nchars_close_to_exact(ray_session, sf_dir):

@@ -267,27 +267,31 @@ def jaccard_verify(
             }
         )
 
-    def join_a(g: pd.DataFrame) -> pd.DataFrame:
-        t = g[g["side"] == 0]
-        p = g[g["side"] == 1].drop_duplicates(["a", "b"])
-        if p.empty or t.empty:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype="int64"),
-                    "b": pd.Series(dtype="int64"),
-                    "text_a": pd.Series(dtype="object"),
-                }
-            )
-        # the union group upcasts a/b/id to float64 (each side carries the
-        # other's nulls) — merge on nullable Int64 so keys compare as exact
-        # integers (float64 keys would silently mis-join ids above 2^53)
-        p = p.assign(a=p["a"].astype("Int64"), b=p["b"].astype("Int64"))
-        t = t.assign(id=t["id"].astype("Int64"))
-        m = p[["a", "b"]].merge(
-            t[["id", "text"]].drop_duplicates("id"), left_on="a", right_on="id"
+    _JOIN_A_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("text_a", pa.large_string())]
+    )
+
+    def join_a(g: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join (stages/join.py rule): the union
+        # group's null-padded int64 columns would upcast to float64 in a
+        # pandas conversion, where adjacent ids above 2^53 collapse —
+        # drop_duplicates would merge distinct pairs and the merge would
+        # join wrong texts.  pyarrow keeps exact int64 end to end.
+        side = g["side"]
+        t = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(["id", "text"])
+        p = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(["a", "b"])
+        if t.num_rows == 0 or p.num_rows == 0:
+            return _JOIN_A_SCHEMA.empty_table()
+        p = p.group_by(["a", "b"]).aggregate([])  # distinct (band dedup)
+        t = t.group_by("id").aggregate([("text", "min")])  # distinct by id
+        j = p.join(t, keys=["a"], right_keys=["id"], join_type="inner")
+        return pa.table(
+            {
+                "a": j["a"],
+                "b": j["b"],
+                "text_a": pc.cast(j["text_min"], pa.large_string()),
+            }
         )
-        m = m.rename(columns={"text": "text_a"})[["a", "b", "text_a"]]
-        return m.astype({"a": "int64", "b": "int64"})
 
     def pair_rows_b(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -308,40 +312,35 @@ def jaccard_verify(
             }
         )
 
-    def join_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
-        t = g[g["side"] == 0]
-        p = g[g["side"] == 1]
-        if p.empty or t.empty:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype="int64"),
-                    "b": pd.Series(dtype="int64"),
-                    "jaccard": pd.Series(dtype="float64"),
-                }
-            )
-        # same exact-integer-key rule as join_a (ids above 2^53 would
-        # mis-join on the float64-upcast key columns)
-        p = p.assign(a=p["a"].astype("Int64"), b=p["b"].astype("Int64"))
-        t = t.assign(id=t["id"].astype("Int64"))
-        m = p[["a", "b", "text_a"]].merge(
-            t[["id", "text"]].drop_duplicates("id"), left_on="b", right_on="id"
+    _JOIN_B_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def join_b_and_score(g: pa.Table) -> pa.Table:
+        # same Arrow-native exact-int64 rule as join_a
+        side = g["side"]
+        t = g.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(["id", "text"])
+        p = g.filter(pc.equal(side, pa.scalar(1, pa.int8()))).select(
+            ["a", "b", "text_a"]
         )
-        jac = jaccard_pairs(m["text_a"].tolist(), m["text"].tolist(), w=w)
-        return pd.DataFrame(
-            {"a": m["a"].astype("int64"), "b": m["b"].astype("int64"), "jaccard": jac}
-        )
+        if t.num_rows == 0 or p.num_rows == 0:
+            return _JOIN_B_SCHEMA.empty_table()
+        t = t.group_by("id").aggregate([("text", "min")])
+        j = p.join(t, keys=["b"], right_keys=["id"], join_type="inner")
+        jac = jaccard_pairs(j["text_a"], j["text_min"], w=w)
+        return pa.table({"a": j["a"], "b": j["b"], "jaccard": pa.array(jac)})
 
     with_a = (
         corpus_ds.map_batches(corpus_rows(1), batch_format="pyarrow")
         .union(pairs_ds.map_batches(pair_rows_a, batch_format="pyarrow"))
         .groupby("bucket")
-        .map_groups(join_a, batch_format="pandas")
+        .map_groups(join_a, batch_format="pyarrow")
     )
     return (
         corpus_ds.map_batches(corpus_rows(2), batch_format="pyarrow")
         .union(with_a.map_batches(pair_rows_b, batch_format="pyarrow"))
         .groupby("bucket")
-        .map_groups(join_b_and_score, batch_format="pandas")
+        .map_groups(join_b_and_score, batch_format="pyarrow")
     )
 
 
@@ -355,6 +354,8 @@ def minhash_dup_groups(
     threshold: float = 0.8,
     num_buckets: int | None = None,
     max_bucket: int = 512,
+    assembly: str = "auto",
+    distributed_pairs_threshold: int = 100_000,
 ) -> pd.DataFrame:
     """MinHash-LSH near-duplicate groups over a Dataset of documents.
 
@@ -372,10 +373,18 @@ def minhash_dup_groups(
       other bands usually recover such pairs) → distributed exact-Jaccard
       verification
       via ``jaccard_verify`` (texts shipped to pairs through bucketed
-      joins; the driver only ever sees VERIFIED pairs) → union-find over
-      verified pairs (tiny: ~dup-rate x corpus; for a pathological pair
-      set run min-label propagation as groupby rounds instead) → one more
-      ``jaccard_verify`` pass to score each member against its group root.
+      joins; the driver only ever sees VERIFIED pairs) → group assembly →
+      one more ``jaccard_verify`` pass to score each member against its
+      group root.
+
+    Group assembly (``assembly``): ``"driver"`` = union-find over the
+    collected verified pairs (right when the pair set is tiny: ~dup-rate x
+    corpus); ``"distributed"`` = min-label propagation as alternating
+    large-star/small-star groupby rounds (stages/concomp.py — the scale
+    path for boilerplate-heavy crawls whose pair set is corpus-sized);
+    ``"auto"`` (default) picks distributed above
+    ``distributed_pairs_threshold`` verified pairs.  Both produce
+    identical labels (property-tested).
     """
     import ray.data
 
@@ -436,21 +445,38 @@ def minhash_dup_groups(
         .groupby("coarse")
         .map_groups(pairs_in_group, batch_format="pandas")
     )
-    verified = (
+    verified_ds = (
         jaccard_verify(cand_pairs_ds, ds, id_col, text_col, w=w, num_buckets=B)
         .filter(expr=f"jaccard >= {threshold}")
-        .to_pandas()
+        .materialize()  # consumed 2-3x below; pairs are << corpus
     )
-    if verified.empty:
+    n_pairs = verified_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
-    roots = _union_groups(
-        [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
-    )
-    if not roots:
-        return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
-    members = pd.DataFrame(
-        {"doc_id": list(roots.keys()), "group_id": list(roots.values())}
-    ).sort_values(["group_id", "doc_id"])
+    if assembly == "distributed" or (
+        assembly == "auto" and n_pairs > distributed_pairs_threshold
+    ):
+        from q_digest_ray.stages.concomp import connected_components
+
+        labels = connected_components(
+            verified_ds.map_batches(
+                lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+            ),
+            num_buckets=B,
+        ).to_pandas()  # one row per duped doc; at true scale write to
+        # parquet instead of collecting (the assembly itself is distributed)
+        members = pd.DataFrame(
+            {"doc_id": labels["node"], "group_id": labels["label"]}
+        )
+    else:
+        verified = verified_ds.to_pandas()
+        roots = _union_groups(
+            [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+        )
+        members = pd.DataFrame(
+            {"doc_id": list(roots.keys()), "group_id": list(roots.values())}
+        )
+    members = members.sort_values(["group_id", "doc_id"])
     nonroot = members[members["doc_id"] != members["group_id"]]
     scores = {}
     if len(nonroot):

@@ -1,0 +1,443 @@
+"""Round-3 regression tests: r2 VERDICT items (distributed Bloom probe,
+embedding-LSH degenerate-bucket cap, vectorized winnowing, distributed
+dup-group assembly, single-pass curation funnel, gated real audio/video
+kernels, public-API block counts) and r2 ADVICE fixes (Int64 join keys,
+IVF/LSH tie-breaks, MG weight validation)."""
+
+import glob
+import io
+import json
+import os
+import wave
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.concomp import connected_components
+    from q_digest_ray.stages.dedup import _union_groups
+
+    rng = np.random.default_rng(11)
+    for n_nodes, n_edges in [(50, 40), (200, 150), (500, 800)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        pairs = pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+        exp = _union_groups([(int(x), int(y)) for x, y in zip(a, b)])
+        got = connected_components(
+            ray.data.from_pandas(pairs).repartition(4), num_buckets=8
+        ).to_pandas()
+        gotd = dict(zip(got["node"], got["label"]))
+        assert gotd == exp
+
+
+def test_connected_components_chain_converges(ray_session):
+    # a path graph is the worst case for naive neighbor propagation —
+    # the star alternation must converge in O(log^2 n) rounds, not O(n)
+    import ray.data
+
+    from q_digest_ray.stages.concomp import connected_components
+
+    n = 400
+    pairs = pd.DataFrame(
+        {"a": np.arange(1, n, dtype="int64"), "b": np.arange(0, n - 1, dtype="int64")}
+    )
+    got = connected_components(
+        ray.data.from_pandas(pairs), num_buckets=8, max_rounds=24
+    ).to_pandas()
+    assert len(got) == n and (got["label"] == 0).all()
+
+
+def test_minhash_assembly_driver_vs_distributed(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import minhash_dup_groups
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    did = 0
+    for i in range(30):
+        d = " ".join(rng.choice(words, 40))
+        texts.append(d)
+        ids.append(did)
+        did += 1
+        if i < 3:  # three clusters of four near-identical copies
+            for _ in range(3):
+                toks = d.split()
+                toks[rng.integers(0, len(toks))] = "zz"
+                texts.append(" ".join(toks))
+                ids.append(did)
+                did += 1
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.array(ids, "int64"), "text": texts})
+    ).repartition(4)
+    drv = minhash_dup_groups(ds, "doc_id", "text", assembly="driver")
+    dist = minhash_dup_groups(ds, "doc_id", "text", assembly="distributed")
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+    assert len(drv) >= 12  # the three planted clusters survive
+
+
+# ---------------------------------------------------------------------------
+# embedding-LSH degenerate-bucket cap (VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_degenerate_bucket_bounded(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import embedding_dup_pairs
+
+    # 5k IDENTICAL vectors all land in one bucket per table; the capped
+    # chain must finish without O(m^2) pair emission and keep the
+    # exact-dup class connected (chain links at cosine 1.0)
+    n = 5000
+    vec = [1.0, 0.0, 0.5, 0.25]
+    df = pd.DataFrame(
+        {"id": np.arange(n, dtype="int64"), "vec": [vec] * n}
+    )
+    out = embedding_dup_pairs(
+        ray.data.from_pandas(df).repartition(4),
+        "id",
+        "vec",
+        threshold=0.95,
+        num_tables=1,
+        max_bucket=256,
+    )
+    # chain over m identical vectors = m-1 links (per table, deduped)
+    assert len(out) == n - 1
+    assert (out["cos_sim"] == 1.0).all()
+    # links connect the whole class: union of endpoints covers all ids
+    assert len(set(out["id_a"]).union(out["id_b"])) == n
+
+
+# ---------------------------------------------------------------------------
+# winnowing vectorization parity (VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_reference(texts, k, window):
+    """Definitional per-doc implementation (the r2 code, kept as oracle)."""
+    import pyarrow.compute as pc
+
+    from q_digest_ray.functions.hashing import hash64, splitmix64
+
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat_h = hash64(toks.flatten())
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    out = []
+    for d in range(len(texts)):
+        h = flat_h[offs[d] : offs[d + 1]]
+        if len(h) < k:
+            out.append(np.unique(splitmix64(h)) if len(h) else np.empty(0, np.uint64))
+            continue
+        m = np.lib.stride_tricks.sliding_window_view(h, k)
+        acc = np.zeros(len(m), dtype=np.uint64)
+        for j in range(k):
+            acc = splitmix64(acc * np.uint64(0x100000001B3) + m[:, j])
+        if len(acc) <= window:
+            out.append(np.unique(acc))
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(acc, window)
+            out.append(np.unique(w.min(axis=1)))
+    return out
+
+
+@pytest.mark.parametrize("k,window", [(5, 4), (3, 2), (2, 5), (1, 1)])
+def test_winnow_vectorized_matches_definition(k, window):
+    from q_digest_ray.functions.text import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(words, int(L))) if L else ""
+        for L in rng.integers(0, 30, 300)
+    ]
+    texts += ["", "one", "one two three four five six seven eight nine"]
+    arr = pa.array(texts, pa.string())
+    got = winnow_fingerprints(arr, k=k, window=window)
+    exp = _winnow_reference(arr, k=k, window=window)
+    assert len(got) == len(exp)
+    for x, y in zip(got, exp):
+        assert x.dtype == np.uint64
+        assert np.array_equal(x, y)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_verify exact integer keys above 2^53 (ADVICE item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_verify_ids_above_2_53(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import jaccard_verify
+
+    # adjacent huge ids are equal as float64 — a float-key merge would
+    # attach the wrong text to one of them
+    base = 1 << 53
+    corpus = pd.DataFrame(
+        {
+            "doc_id": np.array([base + 1, base + 2, base + 3], "int64"),
+            "text": [
+                "aa bb cc dd ee ff",
+                "zz yy xx ww vv uu",
+                "aa bb cc dd ee ff",
+            ],
+        }
+    )
+    pairs = pd.DataFrame(
+        {
+            "a": np.array([base + 1, base + 1], "int64"),
+            "b": np.array([base + 2, base + 3], "int64"),
+        }
+    )
+    out = (
+        jaccard_verify(
+            ray.data.from_pandas(pairs),
+            ray.data.from_pandas(corpus),
+            "doc_id",
+            "text",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "jaccard"] == 0.0  # disjoint texts
+    assert out.loc[1, "jaccard"] == 1.0  # identical texts
+
+
+# ---------------------------------------------------------------------------
+# single-pass curation with per-bucket manifests (VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_manifests_match_counts(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the patient cat "
+        "watches from a warm stone wall in the afternoon sun and the words "
+        "keep flowing in a perfectly ordinary way for this plain test."
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(25, dtype="int64"),
+            "text": [good + f" Variant {i}." for i in range(15)]
+            + [good + " Variant 0."] * 5
+            + ["!!!"] * 5,
+            "lang": ["en"] * 13 + ["de"] * 12,
+        }
+    )
+    out_dir = str(tmp_path / "curated")
+    funnel = curate_corpus(ray.data.from_pandas(docs), out_dir, min_quality=0.3)
+    assert funnel["n_in"] == 25
+    assert funnel["n_after_dedup"] == 16  # 15 variants + 1 junk text
+    assert funnel["n_exported"] == 15
+    # the per-bucket manifests are the pass's own lineage: sums must equal
+    # the returned counts AND the files actually on disk
+    manifests = [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(out_dir, "_manifest", "*.json")))
+    ]
+    assert sum(m["rows_after_dedup"] for m in manifests) == funnel["n_after_dedup"]
+    assert sum(m["rows_exported"] for m in manifests) == funnel["n_exported"]
+    back = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")))
+    ).to_pandas()
+    assert len(back) == funnel["n_exported"]
+    per_part = {}
+    for m in manifests:
+        for k, v in m["partitions"].items():
+            per_part[k] = per_part.get(k, 0) + v
+    assert per_part == funnel["per_partition"]
+
+
+# ---------------------------------------------------------------------------
+# gated real audio / video kernels (VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def _sine_wav(rate=16000, freq=440.0, dur=0.5, amp=0.5) -> bytes:
+    ts = np.arange(int(rate * dur)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * ts) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_stage_real_wav_kernel():
+    from q_digest_ray.stages.multimodal import AudioFeatureStage
+
+    rate, freq = 16000, 440.0
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([_sine_wav(rate, freq), b"\x00garbage"], pa.binary()),
+            "media_type": pa.array(["audio", "audio"]),
+        }
+    )
+    out = AudioFeatureStage()(batch)
+    f = np.array(out["features"][0].as_py())
+    assert len(f) == AudioFeatureStage.FEATURE_DIM
+    assert abs(f[0] - 0.5 / np.sqrt(2)) < 0.01  # rms of a 0.5-amp sine
+    assert abs(f[1] - 2 * freq / rate) < 0.005  # zero-crossing rate
+    assert abs(f[2] - freq) < 10  # spectral centroid at the tone
+    assert len(out["features"][1].as_py()) == AudioFeatureStage.FEATURE_DIM  # fake
+
+
+def test_audio_stage_strict_raises_on_undecodable():
+    from q_digest_ray.stages.multimodal import AudioFeatureStage
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "media": pa.array([b"not a wav"], pa.binary()),
+            "media_type": pa.array(["audio"]),
+        }
+    )
+    with pytest.raises(ValueError, match="undecodable audio"):
+        AudioFeatureStage(strict=True)(batch)
+
+
+def test_audio_stage_stereo_and_8bit():
+    from q_digest_ray.stages.multimodal import AudioFeatureStage
+
+    # stereo 16-bit: identical channels → same features as mono
+    rate = 8000
+    ts = np.arange(rate) / rate
+    x = (0.4 * np.sin(2 * np.pi * 200 * ts) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.repeat(x, 2).tobytes())
+    stereo = buf.getvalue()
+    x8 = ((0.4 * np.sin(2 * np.pi * 200 * ts)) * 127 + 128).astype(np.uint8)
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(x8.tobytes())
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([stereo, buf8.getvalue()], pa.binary()),
+            "media_type": pa.array(["audio", "audio"]),
+        }
+    )
+    out = AudioFeatureStage(strict=True)(batch)  # both must decode for real
+    f1 = np.array(out["features"][0].as_py())
+    f2 = np.array(out["features"][1].as_py())
+    assert abs(f1[2] - 200) < 10 and abs(f2[2] - 200) < 10
+
+
+def test_frame_stage_gates():
+    from q_digest_ray.stages.multimodal import HAS_PIL, FrameSampleStage
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([b"\x01" * 64], pa.binary()),
+            "media_type": pa.array(["video"]),
+        }
+    )
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(use_real=True)
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(strict=True)(batch)
+    out = FrameSampleStage(num_frames=3)(batch)  # fake path always works
+    assert len(out["frames"][0].as_py()) == 3
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "q_digest_ray.stages.multimodal", fromlist=["HAS_PIL"]
+    ).HAS_PIL,
+    reason="PIL not importable in this container",
+)
+def test_frame_stage_real_gif_when_pil_present():  # pragma: no cover
+    from PIL import Image
+
+    from q_digest_ray.stages.multimodal import FrameSampleStage
+
+    frames = []
+    for i in range(6):
+        im = Image.new("RGB", (4, 4), (40 * i, 10, 255 - 40 * i))
+        frames.append(im)
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True, append_images=frames[1:])
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media": pa.array([buf.getvalue()], pa.binary()),
+            "media_type": pa.array(["video"]),
+        }
+    )
+    out = FrameSampleStage(num_frames=3, strict=True)(batch)
+    fr = out["frames"][0].as_py()
+    assert len(fr) == 3 and all(len(f) == 12 for f in fr)
+    # frames sampled across the animation differ (color ramp)
+    assert fr[0] != fr[-1]
+
+
+# ---------------------------------------------------------------------------
+# IVF/LSH per-batch tie-break (ADVICE item 2) + public block counts
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_tie_break_deterministic(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.ann import ivf_topk
+
+    # 40 identical vectors: every cosine ties at 1.0; top-k must be the
+    # k smallest ids (the final sort's tie-break), whatever the batching
+    v = [1.0, 0.0, 0.0]
+    df = pd.DataFrame({"id": np.arange(40, dtype="int64"), "vec": [v] * 40})
+    out = ivf_topk(
+        ray.data.from_pandas(df).repartition(8),
+        "id",
+        "vec",
+        np.array(v),
+        k=5,
+        num_centroids=2,
+        nprobe=2,
+    )
+    assert out["id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_estimate_num_blocks_public_api(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+    ds = ray.data.range(100).materialize()
+    assert estimate_num_blocks(ds) == ds.num_blocks()
+    lazy = ray.data.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    assert estimate_num_blocks(lazy) >= 1  # input-file fallback, no execution

@@ -53,6 +53,10 @@ QUERY_NAMES = [
     "ann_ivf_topk",
     "sk_kll_weighted_nchars",
     "curation_funnel",
+    "fingerprint_stats",
+    "sk_bloom_membership",
+    "orders_without_lineitems",
+    "distinct_users_by_type",
 ]
 
 

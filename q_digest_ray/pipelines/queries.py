@@ -1436,6 +1436,180 @@ def sk_kll_weighted_nchars(sf_dir: str):
     )
 
 
+def orders_without_lineitems(sf_dir: str, num_buckets: int | None = None):
+    """Anti-join: orders with no lineitem rows, via the bucketed hash
+    join's existence path (``how="anti"`` → pyarrow left-anti inside each
+    co-partitioned bucket; the probe side ships only its distinct keys
+    per bucket, so the fact-sized right side contributes key bytes, not
+    rows)."""
+    from q_digest_ray.stages.join import bucketed_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    B = num_buckets or derive_buckets(
+        size_bytes=(orders.size_bytes() or 0) + (li.size_bytes() or 0)
+    )
+    out = bucketed_join(
+        orders, li, on="o_orderkey", right_on="l_orderkey", num_buckets=B, how="anti"
+    ).to_pandas()
+    if out.empty:  # an all-empty Dataset drops its schema through to_pandas
+        out = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64")})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def distinct_users_by_type(sf_dir: str, num_buckets: int | None = None):
+    """EXACT grouped distinct count (the oracle for sk_hll_distinct_users'
+    approximate cousin): per-batch distinct (event_type, user_id) pairs,
+    hash-bucketed BY USER so equal users co-locate, per-bucket distinct →
+    per-type counts, exact sum across buckets (each user counts in exactly
+    one bucket).  Shuffle volume is bounded by distinct pairs per batch,
+    not rows."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["event_type", "user_id"]).aggregate([])  # distinct
+        bucket = (hash64(t["user_id"]) % np.uint64(B)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).agg(n_users=("user_id", "size"))
+        return out
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def nchars_quantiles_by_lang(sf_dir: str):
+    """EXACT grouped quantiles via a distributed (lang, value)-counts
+    histogram (the grouped twin of exact_quantiles_nchars): partial
+    volume is distinct (lang, n_chars) pairs per batch — bounded by value
+    cardinality, not rows — and the final per-lang cumsum+rank runs over
+    the tiny combined histogram."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.select(["lang", "n_chars", "n_chars_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            g = g.groupby("n_chars", as_index=False).agg(
+                cnt=("n_chars_count", "sum")
+            ).sort_values("n_chars")
+            vals = g["n_chars"].to_numpy()
+            csum = g["cnt"].to_numpy().cumsum()
+            n = int(csum[-1])
+            row = {"lang": lang}
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                rank = int(np.ceil(p * n))  # DuckDB quantile_disc, 1-based
+                row[name] = int(vals[np.searchsorted(csum, rank, side="left")])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+NCHARS_QUANTILES_BY_LANG_SQL = """
+SELECT lang, quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def media_features(sf_dir: str):
+    """Multimodal pipeline through the driver gate (rows-only): a
+    deterministic synthetic media table (seeded blobs; audio rows are
+    REAL WAV sines so the stdlib-DSP kernel runs distributed, not just in
+    unit tests) → image + audio actor-pool feature stages → per-type
+    feature summary.  Input-independent (the driver tables carry no media
+    column); ``sf_dir`` is accepted for catalog-signature uniformity."""
+    import io
+    import wave
+
+    import ray.data
+
+    from q_digest_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        synthesize_media,
+    )
+
+    t = synthesize_media(1000, seed=7)
+    # overwrite audio payloads with real WAV sines (deterministic per id)
+    ids = t["media_id"].to_numpy()
+    kinds = t["media_type"].to_pylist()
+    blobs = t["media"].to_pylist()
+    rate = 8000
+    ts = np.arange(rate // 4) / rate  # 250 ms
+    for i, k in enumerate(kinds):
+        if k == "audio":
+            freq = 100.0 + (int(ids[i]) % 20) * 50.0
+            x = (0.5 * np.sin(2 * np.pi * freq * ts) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(x.tobytes())
+            blobs[i] = buf.getvalue()
+    t = t.set_column(
+        t.schema.get_field_index("media"), "media", pa.array(blobs, pa.binary())
+    )
+    ds = ray.data.from_arrow(t)
+    imgs = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=pool_limits(),
+    ).to_pandas()
+    auds = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=pool_limits(),
+    ).to_pandas()
+    img_m = np.stack(imgs["features"].to_numpy()) if len(imgs) else np.zeros((0, 1))
+    aud_m = np.stack(auds["features"].to_numpy()) if len(auds) else np.zeros((0, 1))
+    return pd.DataFrame(
+        [
+            {
+                "media_type": "image",
+                "n": len(imgs),
+                "feature_dim": img_m.shape[1],
+                "mean_norm": round(float(np.linalg.norm(img_m, axis=1).mean()), 4),
+            },
+            {
+                "media_type": "audio",
+                "n": len(auds),
+                "feature_dim": aud_m.shape[1],
+                "mean_norm": round(float(np.linalg.norm(aud_m, axis=1).mean()), 4),
+            },
+        ]
+    )
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -1457,6 +1631,9 @@ EXACT_QUERIES = {
     "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
+    "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),
+    "distinct_users_by_type": (distinct_users_by_type, DISTINCT_USERS_BY_TYPE_SQL),
+    "nchars_quantiles_by_lang": (nchars_quantiles_by_lang, NCHARS_QUANTILES_BY_LANG_SQL),
 }
 
 SKETCH_QUERIES = {
@@ -1479,4 +1656,5 @@ SKETCH_QUERIES = {
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
     "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
+    "media_features": media_features,
 }

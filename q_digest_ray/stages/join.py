@@ -50,10 +50,11 @@ def bucketed_join(
     if shared:
         raise ValueError(f"overlapping non-key columns: {shared}")
 
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
-    ltypes = {f.name: f.type for f in lschema}
-    rtypes = {f.name: f.type for f in rschema}
+    # public Schema.names/.types (pyarrow DataTypes even for pandas-backed
+    # datasets, where base_schema is a PandasBlockSchema, not pa.Schema)
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
 
     def tag(side: str, key: str):
         # union needs ONE aligned schema: each side fills the other side's
@@ -87,6 +88,8 @@ def bucketed_join(
         "left": "left outer",
         "right": "right outer",
         "outer": "full outer",
+        "semi": "left semi",
+        "anti": "left anti",
     }[how]
 
     def join_bucket(g: pa.Table) -> pa.Table:
@@ -103,6 +106,14 @@ def bucketed_join(
             .select([f"r:{c}" for c in rcols])
             .rename_columns(rcols)
         )
+        if pa_how in ("left semi", "left anti"):
+            # existence joins return LEFT columns only — probe just the key
+            return lf.join(
+                rf.select([right_on]).group_by(right_on).aggregate([]),
+                keys=[on],
+                right_keys=[right_on],
+                join_type=pa_how,
+            )
         if right_on != on:
             # pyarrow drops the right key column; keep the historical
             # contract of retaining both by carrying a copy through

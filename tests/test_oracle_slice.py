@@ -9,7 +9,16 @@ import pytest
 import __ray_entry__ as entrymod
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-NAMES = ["pricing_summary", "lang_counts", "top_users", "exact_quantiles_nchars", "revenue_by_priority"]
+NAMES = [
+    "pricing_summary",
+    "lang_counts",
+    "top_users",
+    "exact_quantiles_nchars",
+    "revenue_by_priority",
+    "orders_without_lineitems",
+    "distinct_users_by_type",
+    "nchars_quantiles_by_lang",
+]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -432,6 +432,49 @@ def test_ivf_topk_tie_break_deterministic(ray_session):
     assert out["id"].tolist() == [0, 1, 2, 3, 4]
 
 
+def test_bucketed_join_anti_semi(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.join import bucketed_join
+
+    # keys above 2^53 verify the Arrow-native exactness of the new paths
+    base = 1 << 53
+    left = pd.DataFrame(
+        {"k": np.array([base + 1, base + 2, base + 3, base + 4], "int64"),
+         "v": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame(
+        {"rk": np.array([base + 2, base + 2, base + 4], "int64"), "w": [1, 2, 3]}
+    )
+    lds = ray.data.from_pandas(left).repartition(2)
+    rds = ray.data.from_pandas(right).repartition(2)
+    anti = (
+        bucketed_join(lds, rds, on="k", right_on="rk", num_buckets=4, how="anti")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert anti["k"].tolist() == [base + 1, base + 3]
+    assert list(anti.columns) == ["k", "v"]  # left columns only
+    semi = (
+        bucketed_join(lds, rds, on="k", right_on="rk", num_buckets=4, how="semi")
+        .to_pandas()
+        .sort_values("k")
+    )
+    # semi: left rows with a match, NOT multiplied by right duplicates
+    assert semi["k"].tolist() == [base + 2, base + 4]
+    assert semi["v"].tolist() == [20, 40]
+
+
+def test_media_features_query_deterministic(ray_session):
+    from q_digest_ray.pipelines.queries import media_features
+
+    a = media_features("/root/testdata/sf0.001")
+    b = media_features("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["media_type"]) == {"image", "audio"}
+    assert (a["n"] > 0).all()
+
+
 def test_estimate_num_blocks_public_api(ray_session):
     import ray.data
 

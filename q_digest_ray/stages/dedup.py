@@ -453,6 +453,7 @@ def minhash_dup_groups(
     n_pairs = verified_ds.count()
     if n_pairs == 0:
         return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
+    verified_pd = None
     if assembly == "distributed" or (
         assembly == "auto" and n_pairs > distributed_pairs_threshold
     ):
@@ -469,32 +470,54 @@ def minhash_dup_groups(
             {"doc_id": labels["node"], "group_id": labels["label"]}
         )
     else:
-        verified = verified_ds.to_pandas()
+        verified_pd = verified_ds.to_pandas()
         roots = _union_groups(
-            [(int(a), int(b)) for a, b in zip(verified["a"], verified["b"])]
+            [(int(a), int(b)) for a, b in zip(verified_pd["a"], verified_pd["b"])]
         )
         members = pd.DataFrame(
             {"doc_id": list(roots.keys()), "group_id": list(roots.values())}
         )
     members = members.sort_values(["group_id", "doc_id"])
     nonroot = members[members["doc_id"] != members["group_id"]]
-    scores = {}
-    if len(nonroot):
+    # member→root scores: REUSE jaccards already computed by verification
+    # (a verified pair (root, doc) is exactly the score we need, since the
+    # root is the group min and pairs are emitted (smaller, larger)); only
+    # TRANSITIVE members — linked to the root through intermediates — need
+    # the extra jaccard_verify pass.  On typical corpora most dups link
+    # directly, so this cuts the scoring pass to a handful of pairs.
+    scores: dict[tuple[int, int], float] = {}
+    if verified_pd is not None and len(nonroot):
+        have = {
+            (int(a), int(b)): float(j)
+            for a, b, j in zip(
+                verified_pd["a"], verified_pd["b"], verified_pd["jaccard"]
+            )
+        }
+        missing_a, missing_b = [], []
+        for d, r in zip(nonroot["doc_id"], nonroot["group_id"]):
+            j = have.get((int(r), int(d)))  # root < doc always
+            if j is None:
+                missing_a.append(int(d))
+                missing_b.append(int(r))
+            else:
+                scores[(int(d), int(r))] = j
+    elif len(nonroot):
+        missing_a = [int(d) for d in nonroot["doc_id"]]
+        missing_b = [int(r) for r in nonroot["group_id"]]
+    if len(nonroot) and missing_a:
         root_pairs = ray.data.from_pandas(
             pd.DataFrame(
                 {
-                    "a": nonroot["doc_id"].astype("int64"),
-                    "b": nonroot["group_id"].astype("int64"),
+                    "a": pd.Series(missing_a, dtype="int64"),
+                    "b": pd.Series(missing_b, dtype="int64"),
                 }
             )
         )
         scored = jaccard_verify(
             root_pairs, ds, id_col, text_col, w=w, num_buckets=B
         ).to_pandas()
-        scores = {
-            (int(a), int(b)): float(j)
-            for a, b, j in zip(scored["a"], scored["b"], scored["jaccard"])
-        }
+        for a, b, j in zip(scored["a"], scored["b"], scored["jaccard"]):
+            scores[(int(a), int(b))] = float(j)
     members["jaccard_to_root"] = [
         1.0 if d == r else round(scores.get((int(d), int(r)), 0.0), 4)
         for d, r in zip(members["doc_id"], members["group_id"])

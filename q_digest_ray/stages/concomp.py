@@ -21,6 +21,15 @@ component minimum); ``connected_components`` returns one (node, label)
 row per node that appears in any edge, label = component min — exactly
 the {x: find(x)} mapping of the driver union-find it replaces
 (property-tested against it in tests/test_round3.py).
+
+Hot-center bound: in late rounds a component's min node accumulates
+degree ~ component size, so ONE bucket task holds that center's edge
+segment — O(members x 16 B) memory (a 10^8-member dup class is ~1.6 GB
+in one task) and O(degree) emission per center (the star formulation's
+point: never O(degree^2)).  For components beyond single-task memory,
+raise ``num_buckets`` (other centers spread out) or pre-collapse exact
+duplicates (dedup_exact) before near-dup grouping — the standard
+pipeline order.
 """
 
 from __future__ import annotations
@@ -156,13 +165,26 @@ def connected_components(pairs_ds, num_buckets: int = 32, max_rounds: int = 64):
         keep = hi != lo
         return pd.DataFrame({"a": hi[keep], "b": lo[keep]}).drop_duplicates()
 
-    edges = _dedup_edges(
-        pairs_ds.map_batches(normalize, batch_format="pyarrow"), B
-    ).materialize()
+    import ray.data
+
+    def _pin(ds):
+        """Materialize AND sever lineage/stats ancestry.
+
+        A bare ``materialize()`` keeps the full stats parent chain of the
+        round's sub-plan, whose input is the previous round's materialized
+        dataset — after tens of rounds the chain is deep enough that Ray's
+        recursive stats summarization hits Python's recursion limit.
+        Rebuilding from the materialized Arrow block refs is zero-copy
+        (blocks stay in the object store; only refs pass through the
+        driver) and gives each round a fresh, ancestry-free dataset.
+        """
+        return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+    edges = _pin(_dedup_edges(pairs_ds.map_batches(normalize, batch_format="pyarrow"), B))
     prev_sig = _signature(edges)
     for _ in range(max_rounds):
         edges = _dedup_edges(_star_round(edges, large=True, B=B), B)
-        edges = _dedup_edges(_star_round(edges, large=False, B=B), B).materialize()
+        edges = _pin(_dedup_edges(_star_round(edges, large=False, B=B), B))
         sig = _signature(edges)
         if sig == prev_sig:
             break

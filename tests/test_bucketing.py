@@ -55,3 +55,19 @@ def test_customer_nation_revenue_b_invariant(ray_session, sf_dir):
     a = customer_nation_revenue(sf_dir, num_buckets=8)
     b = customer_nation_revenue(sf_dir, num_buckets=64)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_round3_queries_b_invariant(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import (
+        distinct_users_by_type,
+        orders_without_lineitems,
+    )
+
+    pd.testing.assert_frame_equal(
+        orders_without_lineitems(sf_dir, num_buckets=8),
+        orders_without_lineitems(sf_dir, num_buckets=64),
+    )
+    pd.testing.assert_frame_equal(
+        distinct_users_by_type(sf_dir, num_buckets=8),
+        distinct_users_by_type(sf_dir, num_buckets=64),
+    )

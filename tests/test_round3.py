@@ -59,6 +59,35 @@ def test_connected_components_chain_converges(ray_session):
     assert len(got) == n and (got["label"] == 0).all()
 
 
+def test_connected_components_giant_component(ray_session):
+    # one 30k-member component (hub + chain segments + random cross links)
+    # plus scattered small ones — exercises the hot-center path where the
+    # component min accumulates nearly all edges in one bucket segment
+    import ray.data
+
+    from q_digest_ray.stages.concomp import connected_components
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    a = [np.zeros(n // 2, np.int64), np.arange(1, n, dtype=np.int64)]
+    b = [
+        rng.integers(1, n, n // 2).astype(np.int64),  # hub spokes
+        np.arange(0, n - 1, dtype=np.int64),  # full chain: guarantees connectivity
+    ]
+    # small separate components in an id range the giant one can't touch
+    a.append(np.arange(n + 1, n + 1001, dtype=np.int64))
+    b.append(np.arange(n + 1, n + 1001, dtype=np.int64) + 1000)
+    pairs = pd.DataFrame({"a": np.concatenate(a), "b": np.concatenate(b)})
+    got = connected_components(
+        ray.data.from_pandas(pairs).repartition(8), num_buckets=16
+    ).to_pandas()
+    giant = got[got["node"] <= n]
+    assert (giant["label"] == 0).all()
+    small = got[got["node"] > n]
+    assert len(small) == 2000 and (small["label"] > n).all()
+    assert small.groupby("label").size().eq(2).all()
+
+
 def test_minhash_assembly_driver_vs_distributed(ray_session):
     import ray.data
 

@@ -48,6 +48,29 @@ def export_curated(
     return out_dir
 
 
+def _content_key_adder(text_col: str, B: int):
+    """map_batches fn adding the 128-bit content key + coarse bucket
+    (__h1/__h2/__bucket) — THE dedup key scheme, shared by
+    dedup_keep_first and curate_corpus so their semantics cannot drift."""
+    from q_digest_ray.functions.hashing import content_key128
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h1, h2, bucket = content_key128(batch[text_col], B)
+        return (
+            batch.append_column("__h1", pa.array(h1))
+            .append_column("__h2", pa.array(h2))
+            .append_column("__bucket", pa.array(bucket))
+        )
+
+    return add_key
+
+
+def _keep_min_rows(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Per-bucket dedup: the min-``id_col`` row per distinct content key."""
+    idx = g.groupby(["__h1", "__h2"], sort=False)[id_col].idxmin()
+    return g.loc[idx].drop(columns=["__h1", "__h2", "__bucket"])
+
+
 def dedup_keep_first(ds, id_col: str, text_col: str, num_buckets: int | None = None):
     """Dedup as a row filter: keep the min-``id_col`` row per distinct
     ``text_col``, returning the surviving FULL rows as a Dataset.
@@ -58,27 +81,13 @@ def dedup_keep_first(ds, id_col: str, text_col: str, num_buckets: int | None = N
     curation pipeline (SCALE.md), unavoidable because surviving rows must
     be materialized downstream; the alternative (survivor-id semi-join)
     needs a corpus-sized broadcast."""
-    from q_digest_ray.functions.hashing import content_key128
     from q_digest_ray.stages.partitioning import derive_buckets
 
     B = num_buckets or derive_buckets(ds)
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        h1, h2, bucket = content_key128(batch[text_col], B)
-        return (
-            batch.append_column("__h1", pa.array(h1))
-            .append_column("__h2", pa.array(h2))
-            .append_column("__bucket", pa.array(bucket))
-        )
-
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        idx = g.groupby(["__h1", "__h2"], sort=False)[id_col].idxmin()
-        return g.loc[idx].drop(columns=["__h1", "__h2", "__bucket"])
-
     return (
-        ds.map_batches(add_key, batch_format="pyarrow")
+        ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(keep_min, batch_format="pandas")
+        .map_groups(lambda g: _keep_min_rows(g, id_col), batch_format="pandas")
     )
 
 
@@ -122,7 +131,6 @@ def curate_corpus(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from q_digest_ray.functions.hashing import content_key128
     from q_digest_ray.functions.text import quality_features, quality_score
     from q_digest_ray.stages.partitioning import derive_buckets
 
@@ -134,19 +142,15 @@ def curate_corpus(
     B = num_buckets or derive_buckets(ds)
     n_in = ds.count()  # parquet metadata for reads; no extra pass
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        h1, h2, bucket = content_key128(batch[text_col], B)
-        return (
-            batch.append_column("__h1", pa.array(h1))
-            .append_column("__h2", pa.array(h2))
-            .append_column("__bucket", pa.array(bucket))
-        )
+    # hive's convention for a NULL partition value; pyarrow's hive
+    # partitioning reads it back as null, matching the write_parquet sink
+    # this replaced
+    HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
     def process_bucket(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
         bucket = int(g["__bucket"].iloc[0])
-        idx = g.groupby(["__h1", "__h2"], sort=False)[id_col].idxmin()
-        g = g.loc[idx].drop(columns=["__h1", "__h2", "__bucket"])
+        g = _keep_min_rows(g, id_col)
         n_dedup = len(g)
         t = pa.Table.from_pandas(g, preserve_index=False)
         feats = quality_features(t[text_col])
@@ -156,17 +160,24 @@ def curate_corpus(
         kept = t.filter(pa.array(score >= min_quality))
         part_counts: dict[str, int] = {}
         pvals = kept[partition_col]
-        for val in sorted(set(pvals.to_pylist())):
-            sub = kept.filter(pc.equal(pvals, pa.scalar(val)))
+        vals = set(pvals.to_pylist())
+        for val in sorted(vals, key=lambda v: (v is None, v or "")):
+            if val is None:
+                mask = pc.is_null(pvals)
+                key = HIVE_NULL
+            else:
+                mask = pc.equal(pvals, pa.scalar(val))
+                key = str(val)
+            sub = kept.filter(mask)
             # hive layout: partition value lives in the path, not the file
             sub = sub.drop_columns([partition_col])
-            pdir = os.path.join(out_dir, f"{partition_col}={val}")
+            pdir = os.path.join(out_dir, f"{partition_col}={key}")
             os.makedirs(pdir, exist_ok=True)
             path = os.path.join(pdir, f"bucket-{bucket:05d}.parquet")
             tmp = path + f".tmp.{os.getpid()}"
             pq.write_table(sub, tmp, compression="zstd")
             os.replace(tmp, path)  # atomic publish
-            part_counts[str(val)] = sub.num_rows
+            part_counts[key] = sub.num_rows
         entry = {
             "bucket": bucket,
             "rows_after_dedup": n_dedup,
@@ -179,20 +190,24 @@ def curate_corpus(
         with open(mp + f".tmp.{os.getpid()}", "w") as f:
             json.dump(entry, f)
         os.replace(mp + f".tmp.{os.getpid()}", mp)
+        # the nothing-exported marker uses partition=None (NOT "" — an
+        # empty-string partition VALUE is legal and must count)
         rows = [
             {"bucket": bucket, "n_after_dedup": n_dedup, "partition": v, "n_rows": c}
             for v, c in part_counts.items()
-        ] or [{"bucket": bucket, "n_after_dedup": n_dedup, "partition": "", "n_rows": 0}]
+        ] or [
+            {"bucket": bucket, "n_after_dedup": n_dedup, "partition": None, "n_rows": 0}
+        ]
         return pd.DataFrame(rows)
 
     stats = (
-        ds.map_batches(add_key, batch_format="pyarrow")
+        ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(process_bucket, batch_format="pandas")
         .to_pandas()  # tiny: <= B x distinct partition values rows
     )
     per_bucket = stats.drop_duplicates("bucket")
-    exported = stats[stats["partition"] != ""]
+    exported = stats[stats["partition"].notna()]
     per_partition = {
         str(k): int(v)
         for k, v in exported.groupby("partition")["n_rows"].sum().items()

@@ -1102,17 +1102,21 @@ def curation_funnel(sf_dir: str):
     import glob
     import os
 
-    back = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")))
-    )
+    written = sorted(glob.glob(os.path.join(out_dir, "lang=*", "*.parquet")))
+    if written:
+        back = ray.data.read_parquet(written)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame({"cnt": [batch.num_rows]})
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({"cnt": [batch.num_rows]})
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cnt": [int(df["cnt"].sum())]})
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"cnt": [int(df["cnt"].sum())]})
 
-    n_back = int(two_phase(back, partial, final).to_pandas()["cnt"].iloc[0])
+        n_back = int(two_phase(back, partial, final).to_pandas()["cnt"].iloc[0])
+    else:
+        # nothing passed the quality filter: read_parquet([]) raises, and
+        # an empty funnel (exported = 0) is a legitimate outcome
+        n_back = 0
     if n_back != funnel["n_exported"]:
         raise ValueError(
             f"sink roundtrip mismatch: wrote {funnel['n_exported']} rows, "

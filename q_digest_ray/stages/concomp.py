@@ -124,27 +124,49 @@ def _dedup_edges(edges_ds, B: int):
     )
 
 
-def _signature(edges_ds) -> tuple[int, int]:
-    """(edge count, order-independent checksum) — the convergence scalar.
+def _signature(edges_ds) -> tuple[int, int, int]:
+    """(edge count, two order-independent checksums) — the convergence key.
 
-    Computed as tiny per-batch partials; two identical signatures across
-    consecutive rounds mean the edge set is fixed (w.h.p. of the 64-bit
-    mixed checksum; a collision only delays termination by one round's
-    worth of work, it cannot corrupt labels because the fixpoint is
-    checked on the SET that produces the labels)."""
+    Computed as tiny per-batch partials.  A signature repeat across
+    consecutive rounds is taken as the fixpoint; since both rounds are
+    deterministic, equal SETS really are fixed forever, and unequal sets
+    are only mistaken for equal on a simultaneous collision of both
+    independent 64-bit mixed sums (~2^-128 per round) — in that
+    astronomically unlikely event the labels would be derived from a
+    non-fixpoint edge set, i.e. wrong, so two salts rather than one.
+
+    Dtype discipline: the uint64 wrap-around sums are carried as int64
+    BIT PATTERNS in fixed-schema numpy columns.  The first version built
+    the partial row from a Python int, which pandas typed int64 or uint64
+    depending on magnitude — mixed per-block dtypes that Ray promoted to
+    float64, quantizing low bits, so the SAME edge set produced different
+    checksums under different block partitionings and convergence was
+    never detected (found by the round-3 review; confirmed by repro)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(a.view(np.uint64) * _PRIME + b.view(np.uint64))
-        # uint64 wrap-around sum is order/partition independent
-        return pd.DataFrame({"n": [len(a)], "s": [int(h.sum(dtype=np.uint64))]})
+        key = a.view(np.uint64) * _PRIME + b.view(np.uint64)
+        s1 = np.array([splitmix64(key).sum(dtype=np.uint64)], np.uint64)
+        s2 = np.array(
+            [splitmix64(key ^ np.uint64(0x9E3779B97F4A7C15)).sum(dtype=np.uint64)],
+            np.uint64,
+        )
+        return pd.DataFrame(
+            {
+                "n": np.array([len(a)], np.int64),
+                "s1": s1.view(np.int64),
+                "s2": s2.view(np.int64),
+            }
+        )
 
     parts = edges_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    return int(parts["n"].sum()), int(
-        np.sum(parts["s"].to_numpy(dtype=np.uint64), dtype=np.uint64)
+    return (
+        int(parts["n"].sum()),
+        int(parts["s1"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)),
+        int(parts["s2"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)),
     )
 
 

@@ -51,19 +51,22 @@ def _pow2(b: int) -> int:
 
 
 def estimate_num_blocks(ds) -> int:
-    """Pre-execution block-count estimate through PUBLIC Dataset APIs only.
+    """Pre-execution block-count estimate, public Dataset APIs first.
 
     Drives the auto-derived tree-fold depth in stages/merge.merge_grouped /
     stages/agg.two_phase (how many 8x coalesce rounds before the final
-    combine task).  The r2 code read ``ds._plan.initial_num_blocks()`` — a
-    private attribute a Ray upgrade could silently remove, disabling the
-    auto-fold (r2 VERDICT item 8).  Public signals, in order:
+    combine task).  The r2 code relied solely on
+    ``ds._plan.initial_num_blocks()`` — a private attribute a Ray upgrade
+    could silently remove, disabling the auto-fold (r2 VERDICT item 8).
+    Signals, in order:
 
     - ``ds.num_blocks()`` — exact, but only for MaterializedDataset;
     - ``len(ds.input_files())`` — metadata-only for parquet-backed lineage;
       with production-sized files (the 100-TB case, where fold depth
       actually matters) file count ~= block count.  NOT ``size_bytes()``,
-      which EXECUTES transformed datasets.
+      which EXECUTES transformed datasets;
+    - the private plan counter as a guarded LAST resort, for lazy
+      in-memory lineage only (no files to count).
 
     The estimate only needs the right order of magnitude: fold rounds are
     log8 of it, and +-1 round is harmless (each round is a cheap coalesce
@@ -74,7 +77,18 @@ def estimate_num_blocks(ds) -> int:
     except Exception:
         pass
     try:
-        return len(ds.input_files() or [])
+        nf = len(ds.input_files() or [])
+        if nf:
+            return nf
+    except Exception:
+        pass
+    # last resort for lazy IN-MEMORY lineage (from_pandas/from_items/union
+    # — no input files): the private plan counter, guarded so a Ray
+    # upgrade removing it degrades to 0 (auto-fold off) instead of
+    # crashing.  Without this, many-block in-memory sketch-row datasets
+    # would silently lose the fold protection the estimate exists for.
+    try:
+        return int(ds._plan.initial_num_blocks())
     except Exception:
         return 0
 

@@ -461,6 +461,77 @@ def test_ivf_topk_tie_break_deterministic(ray_session):
     assert out["id"].tolist() == [0, 1, 2, 3, 4]
 
 
+def test_concomp_signature_partitioning_invariant(ray_session):
+    # regression (round-3 review): the per-block checksum row was built
+    # from a Python int whose pandas dtype depended on magnitude; mixed
+    # block dtypes promoted to float64, quantizing low bits, so the SAME
+    # edge set produced different signatures under different partitionings
+    import ray.data
+
+    from q_digest_ray.stages.concomp import _signature
+
+    rng = np.random.default_rng(1)
+    pairs = pd.DataFrame(
+        {
+            "a": rng.integers(1, 1 << 40, 20000).astype("int64"),
+            "b": rng.integers(1, 1 << 40, 20000).astype("int64"),
+        }
+    )
+    sigs = {
+        _signature(ray.data.from_pandas(pairs).repartition(p)) for p in (2, 3, 5, 8)
+    }
+    assert len(sigs) == 1
+
+
+def test_curate_corpus_null_and_empty_partition_values(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the patient cat "
+        "watches from a warm stone wall in the afternoon sun and the words "
+        "keep flowing in a perfectly ordinary way for this plain test."
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(9, dtype="int64"),
+            "text": [good + f" Variant {i}." for i in range(9)],
+            "lang": ["en", "en", "de", None, None, "", "en", "de", ""],
+        }
+    )
+    out_dir = str(tmp_path / "curated_null")
+    funnel = curate_corpus(ray.data.from_pandas(docs), out_dir, min_quality=0.3)
+    assert funnel["n_after_dedup"] == 9
+    assert funnel["n_exported"] == 9  # null/empty lang rows still export
+    assert funnel["per_partition"] == {
+        "en": 3,
+        "de": 2,
+        "": 2,
+        "__HIVE_DEFAULT_PARTITION__": 2,
+    }
+    import os
+
+    assert os.path.isdir(os.path.join(out_dir, "lang=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_curation_funnel_zero_export(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype="int64"),
+            "text": ["!!!"] * 5,  # junk: nothing passes the quality filter
+            "lang": ["en"] * 5,
+        }
+    )
+    out_dir = str(tmp_path / "curated_empty")
+    funnel = curate_corpus(ray.data.from_pandas(docs), out_dir, min_quality=0.3)
+    assert funnel["n_exported"] == 0 and funnel["per_partition"] == {}
+
+
 def test_bucketed_join_anti_semi(ray_session):
     import ray.data
 

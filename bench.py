@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "sk_bloom_membership",
     "orders_without_lineitems",
     "distinct_users_by_type",
+    "top_docs_per_lang",
 ]
 
 

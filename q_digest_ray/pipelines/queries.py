@@ -1546,6 +1546,79 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Groupwise top-k (the window-function shape): the k longest docs per
+    lang, ties broken by doc_id asc.  Per-batch per-lang top-k prune keeps
+    the partial volume at langs x k x blocks rows; the final combine
+    re-ranks the tiny union — no shuffle, same two-phase skeleton as
+    every aggregate."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df.groupby("lang", sort=False).head(k)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return topk(
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pandas(),
+                    "doc_id": batch["doc_id"].to_pandas(),
+                    "n_chars": batch["n_chars"].to_pandas(),
+                }
+            )
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df)
+        out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out[["lang", "rn", "doc_id", "n_chars"]]
+
+    df = two_phase(ds, partial, final).to_pandas()
+    for c in ("rn", "doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["lang", "rn"]).reset_index(drop=True)
+
+
+TOP_DOCS_PER_LANG_SQL = """
+SELECT lang, rn, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY lang, rn
+"""
+
+
+def sk_qdigest_by_lang_salted(sf_dir: str):
+    """Skew-salted grouped sketch build THROUGH the catalog: each lang
+    group splits into 4 salted sub-groups built in parallel
+    (SketchSpec(salt=4) — the hot-key treatment for Zipf langs/hosts),
+    then ``desalt`` re-merges exactly (sketch merge is associative, so
+    results are identical to the unsalted build — asserted in
+    tests/test_skew_and_stateful.py and checkable here against
+    sk_qdigest_nchars_by_lang)."""
+    from q_digest_ray.pipelines.flagship import finalize
+    from q_digest_ray.stages.merge import desalt
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars", "lang"])
+    rows = build_sketches(
+        ds,
+        [
+            SketchSpec(
+                "n_chars_by_lang",
+                "n_chars",
+                "qdigest",
+                {"k": 256, "universe_bits": 16},
+                group_by="lang",
+                salt=4,
+            )
+        ],
+    )
+    return finalize(collect_sketches(desalt(merge_grouped(rows))))
+
+
 def media_features(sf_dir: str):
     """Multimodal pipeline through the driver gate (rows-only): a
     deterministic synthetic media table (seeded blobs; audio rows are
@@ -1638,6 +1711,7 @@ EXACT_QUERIES = {
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),
     "distinct_users_by_type": (distinct_users_by_type, DISTINCT_USERS_BY_TYPE_SQL),
     "nchars_quantiles_by_lang": (nchars_quantiles_by_lang, NCHARS_QUANTILES_BY_LANG_SQL),
+    "top_docs_per_lang": (top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
 }
 
 SKETCH_QUERIES = {
@@ -1660,5 +1734,6 @@ SKETCH_QUERIES = {
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
     "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
+    "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,
     "media_features": media_features,
 }

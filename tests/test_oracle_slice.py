@@ -18,6 +18,7 @@ NAMES = [
     "orders_without_lineitems",
     "distinct_users_by_type",
     "nchars_quantiles_by_lang",
+    "top_docs_per_lang",
 ]
 
 

@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "orders_without_lineitems",
     "distinct_users_by_type",
     "top_docs_per_lang",
+    "top_terms_per_lang",
 ]
 
 

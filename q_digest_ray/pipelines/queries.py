@@ -1591,6 +1591,82 @@ SELECT lang, rn, doc_id, n_chars FROM (
 """
 
 
+def top_terms_per_lang(sf_dir: str, k: int = 5, num_buckets: int | None = None):
+    """Vocabulary / token-frequency operator (the tokenizer-training
+    shape): top-k whitespace tokens per lang by exact global count.
+
+    Scale shape: per-batch vectorized (lang, token) counts (Arrow
+    group_by) → hash-bucket BY TOKEN so each token's total lands in one
+    bucket → per-bucket exact sums + bucket-local per-lang top-k → final
+    merge of B x langs x k candidate rows.  Correct because a global
+    top-k token's full count lives in exactly one bucket, so it appears
+    in that bucket's local top-k; the final stage only re-ranks
+    candidates.  Vocabulary never aggregates in one task."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()  # ChunkedArray.flatten returns a list
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(
+            batch["lang"].to_numpy(zero_copy_only=False), n_tok
+        )
+        flat = toks.flatten()
+        t = pa.table({"lang": pa.array(lang), "token": flat})
+        t = t.filter(pc.not_equal(t["token"], pa.scalar("")))
+        g = t.group_by(["lang", "token"]).aggregate([("token", "count")])
+        bucket = (hash64(g["token"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "token": g["token"],
+                "cnt": g["token_count"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["lang", "token"], as_index=False, sort=False).agg(
+            cnt=("cnt", "sum")
+        )
+        s = s.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+        return s.groupby("lang", sort=False).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # <= B x langs x k tiny candidate rows
+    )
+    out = cand.sort_values(["lang", "cnt", "token"], ascending=[True, False, True])
+    out = out.groupby("lang", sort=False).head(k)
+    out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
+    out["cnt"] = out["cnt"].astype("int64")
+    out["rn"] = out["rn"].astype("int64")
+    return (
+        out[["lang", "rn", "token", "cnt"]]
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+    )
+
+
+TOP_TERMS_PER_LANG_SQL = r"""
+SELECT lang, rn, token, cnt FROM (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+  FROM (
+    SELECT lang, t.token AS token, count(*) AS cnt
+    FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+         unnest(toks) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY lang, t.token
+  )
+) WHERE rn <= 5 ORDER BY lang, rn
+"""
+
+
 def sk_qdigest_by_lang_salted(sf_dir: str):
     """Skew-salted grouped sketch build THROUGH the catalog: each lang
     group splits into 4 salted sub-groups built in parallel
@@ -1712,6 +1788,7 @@ EXACT_QUERIES = {
     "distinct_users_by_type": (distinct_users_by_type, DISTINCT_USERS_BY_TYPE_SQL),
     "nchars_quantiles_by_lang": (nchars_quantiles_by_lang, NCHARS_QUANTILES_BY_LANG_SQL),
     "top_docs_per_lang": (top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
+    "top_terms_per_lang": (top_terms_per_lang, TOP_TERMS_PER_LANG_SQL),
 }
 
 SKETCH_QUERIES = {

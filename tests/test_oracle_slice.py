@@ -19,6 +19,7 @@ NAMES = [
     "distinct_users_by_type",
     "nchars_quantiles_by_lang",
     "top_docs_per_lang",
+    "top_terms_per_lang",
 ]
 
 

@@ -1667,6 +1667,26 @@ SELECT lang, rn, token, cnt FROM (
 """
 
 
+def sk_sample_users(sf_dir: str):
+    """Deterministic mergeable uniform sample of 64 distinct user ids
+    (sketches/sample.py — bottom-k by value hash, so the sample is
+    layout/partition/merge-order invariant, unlike reservoir sampling).
+    Rows-only but fully deterministic: the same corpus always yields the
+    same 64 ids in the same priority order."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    rows = build_sketches(
+        ds, [SketchSpec("users_sample", "user_id", "sample", {"k": 64})]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("users_sample", "")]
+    vals = sk.sample()
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(vals) + 1, dtype="int64"),
+            "user_id": vals.astype("int64"),
+        }
+    )
+
+
 def sk_qdigest_by_lang_salted(sf_dir: str):
     """Skew-salted grouped sketch build THROUGH the catalog: each lang
     group splits into 4 salted sub-groups built in parallel
@@ -1812,5 +1832,6 @@ SKETCH_QUERIES = {
     "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
     "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,
+    "sk_sample_users": sk_sample_users,
     "media_features": media_features,
 }

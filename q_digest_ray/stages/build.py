@@ -30,6 +30,7 @@ from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
 from q_digest_ray.sketches.misra_gries import MisraGries
 from q_digest_ray.sketches.qdigest import QDigest
+from q_digest_ray.sketches.sample import SampleSketch
 from q_digest_ray.sketches.tdigest import TDigest
 
 _KINDS = {
@@ -41,6 +42,7 @@ _KINDS = {
     "kll": KLL,
     "kmv": KMV,
     "mg": MisraGries,
+    "sample": SampleSketch,
 }
 
 GLOBAL_KEY = ""
@@ -85,7 +87,7 @@ class SketchSpec:
 
 def _column_values(col: pa.ChunkedArray, kind: str):
     """Numeric sketches take numpy; hashing sketches take the Arrow array."""
-    if kind in ("hll", "cms", "bloom", "kmv"):
+    if kind in ("hll", "cms", "bloom", "kmv", "sample"):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return col.to_numpy(zero_copy_only=False)
 
@@ -96,7 +98,7 @@ class SketchBuilder:
     def __init__(self, specs: list[SketchSpec]):
         self.specs = list(specs)
 
-    _HASHING_KINDS = ("hll", "cms", "bloom", "kmv")
+    _HASHING_KINDS = ("hll", "cms", "bloom", "kmv")  # sample hashes internally (needs raw values too)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metrics: list[str] = []

@@ -596,3 +596,54 @@ def test_salted_catalog_query_matches_unsalted(ray_session, sf_dir):
         sk_qdigest_by_lang_salted(sf_dir).reset_index(drop=True),
         sk_qdigest_nchars_by_lang(sf_dir).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# SampleSketch (deterministic mergeable distinct-value sample)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_sketch_layout_and_merge_invariant():
+    from q_digest_ray.sketches.sample import SampleSketch
+
+    vals = np.arange(100_000, dtype=np.int64)
+    whole = SampleSketch(k=512)
+    whole.update_batch(vals)
+    # split into uneven batches, merge in shuffled order → identical sample
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(vals)
+    cuts = np.sort(rng.choice(len(vals) - 2, 7, replace=False) + 1)
+    parts = np.split(perm, cuts)
+    rng.shuffle(parts)
+    acc = SampleSketch(k=512)
+    for p in parts:
+        piece = SampleSketch(k=512)
+        piece.update_batch(p)
+        acc.merge(piece)
+    assert np.array_equal(acc.sample(), whole.sample())
+    assert acc.n == whole.n == len(vals)
+    # uniformity: sample mean of uniform 0..99999 within a loose band
+    m = acc.sample().mean()
+    assert 40_000 < m < 60_000
+    # serde roundtrip
+    back = SampleSketch.from_bytes(acc.to_bytes())
+    assert np.array_equal(back.sample(), acc.sample()) and back.n == acc.n
+    # KMV by-product: distinct estimate within 15%
+    assert abs(acc.estimate() - 100_000) / 100_000 < 0.15
+
+
+def test_sample_sketch_rejects_weights():
+    from q_digest_ray.sketches.sample import SampleSketch
+
+    with pytest.raises(ValueError, match="weight-free"):
+        SampleSketch(k=8).update_batch(np.arange(10), weights=np.ones(10))
+
+
+def test_sk_sample_users_deterministic(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import sk_sample_users
+
+    a = sk_sample_users(sf_dir)
+    b = sk_sample_users(sf_dir)
+    pd.testing.assert_frame_equal(a, b)
+    # sf0.001 has fewer than 64 distinct users — the sketch holds them all
+    assert 1 <= len(a) <= 64 and a["user_id"].is_unique

@@ -1183,13 +1183,20 @@ def fingerprint_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _sketch_stats(sf_dir: str, table: str, columns: list[str], specs):
-    """Build + merge + finalize (the exact flagship flattening, reused)."""
+def _sketch_stats(sf_dir: str, table: str, columns: list[str], specs, merge_transform=None):
+    """Build + merge + finalize (the exact flagship flattening, reused).
+
+    ``merge_transform`` (e.g. ``stages.merge.desalt``) is applied to the
+    merged sketch-row Dataset before collection — the hook salted builds
+    need, so they share this plumbing instead of inlining it."""
     from q_digest_ray.pipelines.flagship import finalize
 
     ds = read_table(sf_dir, table, columns=columns)
     rows = build_sketches(ds, specs)
-    return finalize(collect_sketches(merge_grouped(rows)))
+    merged = merge_grouped(rows)
+    if merge_transform is not None:
+        merged = merge_transform(merged)
+    return finalize(collect_sketches(merged))
 
 
 def sk_qdigest_nchars(sf_dir: str):
@@ -1606,6 +1613,13 @@ def top_terms_per_lang(sf_dir: str, k: int = 5, num_buckets: int | None = None):
     B = num_buckets or derive_buckets(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null text yields no tokens (same as SQL unnest of NULL); null
+        # lang rows are excluded too (a real pipeline labels lang first —
+        # pandas groupby in per_bucket would drop the NULL key silently,
+        # so make the exclusion explicit here)
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
         toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()  # ChunkedArray.flatten returns a list
@@ -1695,12 +1709,12 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
     results are identical to the unsalted build — asserted in
     tests/test_skew_and_stateful.py and checkable here against
     sk_qdigest_nchars_by_lang)."""
-    from q_digest_ray.pipelines.flagship import finalize
     from q_digest_ray.stages.merge import desalt
 
-    ds = read_table(sf_dir, "documents", columns=["n_chars", "lang"])
-    rows = build_sketches(
-        ds,
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        ["n_chars", "lang"],
         [
             SketchSpec(
                 "n_chars_by_lang",
@@ -1711,8 +1725,8 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
                 salt=4,
             )
         ],
+        merge_transform=desalt,
     )
-    return finalize(collect_sketches(desalt(merge_grouped(rows))))
 
 
 def media_features(sf_dir: str):

@@ -21,6 +21,21 @@ from q_digest_ray.sketches.base import Sketch, register
 _MAX = np.float64(2**64)
 
 
+def bottomk_theta(hashes: np.ndarray, k: int) -> float:
+    """Sampling threshold of a sorted bottom-k hash set (1.0 while < k)."""
+    if len(hashes) < k:
+        return 1.0
+    return float(hashes[k - 1]) / float(_MAX)
+
+
+def bottomk_estimate(hashes: np.ndarray, k: int) -> float:
+    """(k-1)/theta distinct estimate — shared by KMV and SampleSketch so
+    the estimator lives in exactly one place."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) / bottomk_theta(hashes, k)
+
+
 class KMV(Sketch):
     kind = "kmv"
 
@@ -65,14 +80,10 @@ class KMV(Sketch):
     @property
     def theta(self) -> float:
         """Sampling threshold in [0, 1]; 1.0 while fewer than k distincts."""
-        if len(self._hashes) < self.k:
-            return 1.0
-        return float(self._hashes[-1]) / float(_MAX)
+        return bottomk_theta(self._hashes, self.k)
 
     def estimate(self) -> float:
-        if len(self._hashes) < self.k:
-            return float(len(self._hashes))
-        return (self.k - 1) / self.theta
+        return bottomk_estimate(self._hashes, self.k)
 
     def intersection_estimate(self, other: "KMV") -> float:
         """Estimated distinct count of the intersection (inclusion over the

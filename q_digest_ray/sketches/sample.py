@@ -25,10 +25,8 @@ import numpy as np
 import pyarrow as pa
 
 from q_digest_ray.functions.hashing import hash64
+from q_digest_ray.sketches.kmv import bottomk_estimate, bottomk_theta
 from q_digest_ray.sketches.base import Sketch, pack_arrays, register, unpack_arrays
-
-_MAX = np.float64(2**64)
-
 
 @register
 class SampleSketch(Sketch):
@@ -59,29 +57,38 @@ class SampleSketch(Sketch):
         self._values = cv[keep][: self.k]
 
     def update_batch(self, values, weights=None) -> None:
+        """Sample domain is the INT64 representation of the values: inputs
+        are normalized to int64 BEFORE hashing on every path, so Arrow and
+        numpy, grouped and ungrouped builds agree (hashing the original
+        float bit patterns while storing truncated ints would put
+        duplicate values in a 'distinct-value' sample — r3 review
+        finding).  Nulls/NaNs carry no value to sample and are dropped."""
         if weights is not None:
             raise ValueError("SampleSketch is weight-free (distinct-value sample)")
-        if isinstance(values, (pa.Array, pa.ChunkedArray)):
-            h = hash64(values)
-            v = np.asarray(
-                values.combine_chunks()
-                if isinstance(values, pa.ChunkedArray)
-                else values
-            ).astype(np.int64)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array):
+            import pyarrow.compute as pc
+
+            if values.null_count:
+                values = pc.drop_null(values)
+            v = values.to_numpy(zero_copy_only=False)
         else:
-            v = np.asarray(values).astype(np.int64)
-            h = hash64(v)
-        if h.size == 0:
+            v = np.asarray(values)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        v = v.astype(np.int64)
+        if v.size == 0:
             return
+        h = hash64(v)
         self._trim(h, v)
         self._n += int(h.size)
 
     def merge(self, other: "SampleSketch") -> "SampleSketch":
-        # the SMALLER k (coarser threshold) governs, as in KMV union
+        # the SMALLER k (coarser threshold) governs, as in KMV union;
+        # _trim already slices to the updated k
         self.k = min(self.k, other.k)
         self._trim(other._hashes, other._values)
-        self._hashes = self._hashes[: self.k]
-        self._values = self._values[: self.k]
         self._n += other._n
         return self
 
@@ -91,15 +98,12 @@ class SampleSketch(Sketch):
 
     @property
     def theta(self) -> float:
-        if len(self._hashes) < self.k:
-            return 1.0
-        return float(self._hashes[-1]) / float(_MAX)
+        return bottomk_theta(self._hashes, self.k)
 
     def estimate(self) -> float:
-        """KMV distinct estimate (free by-product of the hash set)."""
-        if len(self._hashes) < self.k:
-            return float(len(self._hashes))
-        return (self.k - 1) / self.theta
+        """KMV distinct estimate (free by-product of the hash set;
+        estimator shared with sketches/kmv.py)."""
+        return bottomk_estimate(self._hashes, self.k)
 
     def to_bytes(self) -> bytes:
         header = struct.pack("<BIQ", 1, self.k, self._n)

@@ -647,3 +647,47 @@ def test_sk_sample_users_deterministic(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b)
     # sf0.001 has fewer than 64 distinct users — the sketch holds them all
     assert 1 <= len(a) <= 64 and a["user_id"].is_unique
+
+
+def test_sample_sketch_float_and_null_normalization():
+    # r3 review: int64 normalization must happen BEFORE hashing on every
+    # path, and nulls/NaNs are dropped, so Arrow and numpy inputs agree
+    from q_digest_ray.sketches.sample import SampleSketch
+
+    a = SampleSketch(k=16)
+    a.update_batch(pa.array([2.5, 2.7, None, 4.0]))
+    b = SampleSketch(k=16)
+    b.update_batch(np.array([2.5, 2.7, np.nan, 4.0]))
+    assert np.array_equal(np.sort(a.sample()), np.sort(b.sample()))
+    assert set(a.sample()) == {2, 4}  # 2.5 and 2.7 are ONE int64 value
+    c = SampleSketch(k=16)
+    c.update_batch(pa.array([1, 2, None, 4], pa.int64()))
+    assert set(c.sample()) == {1, 2, 4}  # no INT64_MIN garbage from nulls
+
+
+def test_top_terms_null_text_rows(ray_session):
+    import ray.data
+
+    from q_digest_ray.pipelines.queries import top_terms_per_lang
+
+    # run the partial path on a frame with null text/lang via a temp dir
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="qdr_nulltext_")
+    t = pa.table(
+        {
+            "lang": ["en", "en", None, "de"],
+            "text": ["a b a", None, "x y", "a a"],
+            "doc_id": np.arange(4, dtype="int64"),
+            "n_chars": np.array([5, 0, 3, 3], "int64"),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = top_terms_per_lang(d)
+    # null text contributes nothing; null-lang row excluded (documented)
+    assert set(out["lang"]) == {"en", "de"}
+    en = out[out["lang"] == "en"].set_index("token")["cnt"]
+    assert en["a"] == 2 and en["b"] == 1

@@ -1011,6 +1011,19 @@ def minhash_dedup(sf_dir: str):
     return minhash_dup_groups(ds, "doc_id", "text", threshold=0.8)
 
 
+def minhash_dedup_distributed(sf_dir: str):
+    """Same pipeline with the DISTRIBUTED group assembly forced
+    (stages/concomp.py label propagation instead of driver union-find) —
+    must produce byte-identical rows to ``minhash_dedup``, so the driver's
+    rows-only gate exercises the scale path too."""
+    from q_digest_ray.stages.dedup import minhash_dup_groups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dup_groups(
+        ds, "doc_id", "text", threshold=0.8, assembly="distributed"
+    )
+
+
 def simhash_pairs(sf_dir: str):
     from q_digest_ray.stages.dedup import simhash_dup_pairs
 
@@ -1828,6 +1841,7 @@ EXACT_QUERIES = {
 SKETCH_QUERIES = {
     "corpus_sample_stats": corpus_sample_stats,
     "minhash_dedup": minhash_dedup,
+    "minhash_dedup_distributed": minhash_dedup_distributed,
     "simhash_pairs": simhash_pairs,
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_topk": ann_lsh_topk,

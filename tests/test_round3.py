@@ -691,3 +691,15 @@ def test_top_terms_null_text_rows(ray_session):
     assert set(out["lang"]) == {"en", "de"}
     en = out[out["lang"] == "en"].set_index("token")["cnt"]
     assert en["a"] == 2 and en["b"] == 1
+
+
+def test_minhash_dedup_distributed_catalog_parity(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import (
+        minhash_dedup,
+        minhash_dedup_distributed,
+    )
+
+    pd.testing.assert_frame_equal(
+        minhash_dedup(sf_dir).reset_index(drop=True),
+        minhash_dedup_distributed(sf_dir).reset_index(drop=True),
+    )

@@ -1694,6 +1694,96 @@ SELECT lang, rn, token, cnt FROM (
 """
 
 
+def docs_vs_lang_median(sf_dir: str):
+    """Aggregate → broadcast → enrich (the "tag rows against their group's
+    statistic" pattern): compute each lang's EXACT median n_chars via the
+    distributed value-counts histogram, ray.put the tiny per-lang medians
+    once, then a second streaming pass counts each lang's docs above its
+    median — no shuffle in either pass; the group statistic rides the
+    object store, not a join."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.select(["lang", "n_chars", "n_chars_count"])
+
+    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            g = (
+                g.groupby("n_chars", as_index=False)
+                .agg(cnt=("n_chars_count", "sum"))
+                .sort_values("n_chars")
+            )
+            csum = g["cnt"].to_numpy().cumsum()
+            rank = int(np.ceil(0.5 * int(csum[-1])))  # quantile_disc(0.5)
+            rows.append(
+                {
+                    "lang": lang,
+                    "p50": int(
+                        g["n_chars"].to_numpy()[np.searchsorted(csum, rank, "left")]
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    medians = two_phase(ds, hist_partial, hist_final).to_pandas()
+    med_ref = ray.put(dict(zip(medians["lang"], medians["p50"])))
+
+    class Tagger:
+        def __init__(self):
+            self.med = ray.get(med_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            lang = batch["lang"].to_numpy(zero_copy_only=False)
+            nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+            p50 = np.array([self.med[l] for l in pd.unique(lang)])
+            lut = dict(zip(pd.unique(lang), p50))
+            thresh = np.array([lut[l] for l in lang], dtype=np.int64)
+            df = pd.DataFrame(
+                {"lang": lang, "above": (nc > thresh).astype(np.int64)}
+            )
+            return df.groupby("lang", as_index=False).agg(
+                n_above=("above", "sum"), n_docs=("above", "size")
+            )
+
+    parts = ds.map_batches(
+        Tagger, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_above=("n_above", "sum"), n_docs=("n_docs", "sum")
+        )
+        g["n_above"] = g["n_above"].astype("int64")
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    out = (
+        parts.repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    out = out.merge(medians, on="lang")
+    out["p50"] = out["p50"].astype("int64")
+    return (
+        out[["lang", "p50", "n_above", "n_docs"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+DOCS_VS_LANG_MEDIAN_SQL = """
+SELECT d.lang, CAST(m.p50 AS BIGINT) AS p50,
+       CAST(sum(CASE WHEN d.n_chars > m.p50 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       count(*) AS n_docs
+FROM documents d
+JOIN (SELECT lang, quantile_disc(n_chars, 0.5) AS p50
+      FROM documents GROUP BY lang) m USING (lang)
+GROUP BY d.lang, m.p50 ORDER BY lang
+"""
+
+
 def sk_sample_users(sf_dir: str):
     """Deterministic mergeable uniform sample of 64 distinct user ids
     (sketches/sample.py — bottom-k by value hash, so the sample is
@@ -1836,6 +1926,7 @@ EXACT_QUERIES = {
     "nchars_quantiles_by_lang": (nchars_quantiles_by_lang, NCHARS_QUANTILES_BY_LANG_SQL),
     "top_docs_per_lang": (top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
     "top_terms_per_lang": (top_terms_per_lang, TOP_TERMS_PER_LANG_SQL),
+    "docs_vs_lang_median": (docs_vs_lang_median, DOCS_VS_LANG_MEDIAN_SQL),
 }
 
 SKETCH_QUERIES = {

@@ -20,6 +20,7 @@ NAMES = [
     "nchars_quantiles_by_lang",
     "top_docs_per_lang",
     "top_terms_per_lang",
+    "docs_vs_lang_median",
 ]
 
 

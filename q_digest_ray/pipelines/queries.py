@@ -1784,6 +1784,54 @@ GROUP BY d.lang, m.p50 ORDER BY lang
 """
 
 
+def sk_decile_binning(sf_dir: str):
+    """Sketch-DRIVEN binning (the approximate cousin of
+    docs_vs_lang_median): one pass builds a merged KLL over n_chars, its
+    decile cut points broadcast via ray.put, a second streaming pass bins
+    every doc — how a 100-TB pipeline assigns quantile buckets without an
+    exact sort.  Rows-only (cuts are approximate); the per-bin mass is
+    bound-tested in tests (each decile holds ~10% of docs within the KLL
+    rank error)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    rows = build_sketches(
+        ds, [SketchSpec("nchars_kll", "n_chars", "kll", {"k": 200})]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("nchars_kll", "")]
+    cuts = np.array(sk.quantiles([i / 10 for i in range(1, 10)]), dtype=np.float64)
+    cuts_ref = ray.put(cuts)
+
+    class Binner:
+        def __init__(self):
+            self.cuts = ray.get(cuts_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+            bins = np.searchsorted(self.cuts, nc, side="right")
+            counts = np.bincount(bins, minlength=10)
+            return pd.DataFrame(
+                {"decile": np.arange(10, dtype=np.int64), "cnt": counts.astype(np.int64)}
+            )
+
+    parts = ds.map_batches(
+        Binner, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("decile", as_index=False).agg(cnt=("cnt", "sum"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    out = (
+        parts.repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    out["upper_cut"] = np.append(cuts, np.inf)
+    return out[["decile", "upper_cut", "cnt"]]
+
+
 def sk_sample_users(sf_dir: str):
     """Deterministic mergeable uniform sample of 64 distinct user ids
     (sketches/sample.py — bottom-k by value hash, so the sample is
@@ -1952,5 +2000,6 @@ SKETCH_QUERIES = {
     "sk_bloom_membership": sk_bloom_membership,
     "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,
     "sk_sample_users": sk_sample_users,
+    "sk_decile_binning": sk_decile_binning,
     "media_features": media_features,
 }

@@ -703,3 +703,16 @@ def test_minhash_dedup_distributed_catalog_parity(ray_session, sf_dir):
         minhash_dedup(sf_dir).reset_index(drop=True),
         minhash_dedup_distributed(sf_dir).reset_index(drop=True),
     )
+
+
+def test_sk_decile_binning_mass_within_bound(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import sk_decile_binning
+
+    out = sk_decile_binning(sf_dir)
+    assert len(out) == 10
+    n = out["cnt"].sum()
+    # each decile holds ~n/10 docs within the KLL rank-error allowance
+    # (k=200 → ~2% rank error; discrete n_chars ties add slack)
+    frac = out["cnt"].to_numpy() / n
+    assert (np.abs(frac - 0.1) < 0.06).all(), frac
+    assert (np.diff(out["upper_cut"].to_numpy()[:-1]) >= 0).all()

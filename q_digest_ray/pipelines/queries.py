@@ -1363,21 +1363,20 @@ def sk_bloom_membership(sf_dir: str):
             hits = self.bloom.contains(ids)
             return pd.DataFrame({"n": [len(hits)], "h": [int(hits.sum())]})
 
+    n_inserted = bloom.n  # capture the scalar, not the whole filter
+
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "n_probed": [int(df["n"].sum())],
                 "n_hits": [int(df["h"].sum())],
-                "n_inserted": [bloom.n],
+                "n_inserted": [n_inserted],
             }
         )
 
     probe_ds = read_table(sf_dir, "documents", columns=["doc_id"])
-    partials = probe_ds.map_batches(
-        Prober, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
-    )
-    return partials.repartition(1).map_batches(
-        final, batch_format="pandas", batch_size=None
+    return two_phase(
+        probe_ds, Prober, final, batch_size=None, concurrency=pool_limits()
     ).to_pandas()
 
 
@@ -1702,32 +1701,9 @@ def docs_vs_lang_median(sf_dir: str):
     median — no shuffle in either pass; the group statistic rides the
     object store, not a join."""
     ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
-        return g.select(["lang", "n_chars", "n_chars_count"])
-
-    def hist_final(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for lang, g in df.groupby("lang"):
-            g = (
-                g.groupby("n_chars", as_index=False)
-                .agg(cnt=("n_chars_count", "sum"))
-                .sort_values("n_chars")
-            )
-            csum = g["cnt"].to_numpy().cumsum()
-            rank = int(np.ceil(0.5 * int(csum[-1])))  # quantile_disc(0.5)
-            rows.append(
-                {
-                    "lang": lang,
-                    "p50": int(
-                        g["n_chars"].to_numpy()[np.searchsorted(csum, rank, "left")]
-                    ),
-                }
-            )
-        return pd.DataFrame(rows)
-
-    medians = two_phase(ds, hist_partial, hist_final).to_pandas()
+    # the grouped histogram quantile is exactly nchars_quantiles_by_lang's
+    # machinery — reuse it and keep the median column
+    medians = nchars_quantiles_by_lang(sf_dir)[["lang", "p50"]]
     med_ref = ray.put(dict(zip(medians["lang"], medians["p50"])))
 
     class Tagger:
@@ -1735,21 +1711,15 @@ def docs_vs_lang_median(sf_dir: str):
             self.med = ray.get(med_ref)
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            lang = batch["lang"].to_numpy(zero_copy_only=False)
+            lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
             nc = batch["n_chars"].to_numpy(zero_copy_only=False)
-            p50 = np.array([self.med[l] for l in pd.unique(lang)])
-            lut = dict(zip(pd.unique(lang), p50))
-            thresh = np.array([lut[l] for l in lang], dtype=np.int64)
+            thresh = lang.map(self.med).to_numpy(dtype=np.int64)
             df = pd.DataFrame(
                 {"lang": lang, "above": (nc > thresh).astype(np.int64)}
             )
             return df.groupby("lang", as_index=False).agg(
                 n_above=("above", "sum"), n_docs=("above", "size")
             )
-
-    parts = ds.map_batches(
-        Tagger, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
-    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(
@@ -1759,11 +1729,9 @@ def docs_vs_lang_median(sf_dir: str):
         g["n_docs"] = g["n_docs"].astype("int64")
         return g
 
-    out = (
-        parts.repartition(1)
-        .map_batches(final, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+    out = two_phase(
+        ds, Tagger, final, batch_size=None, concurrency=pool_limits()
+    ).to_pandas()
     out = out.merge(medians, on="lang")
     out["p50"] = out["p50"].astype("int64")
     return (
@@ -1812,18 +1780,13 @@ def sk_decile_binning(sf_dir: str):
                 {"decile": np.arange(10, dtype=np.int64), "cnt": counts.astype(np.int64)}
             )
 
-    parts = ds.map_batches(
-        Binner, batch_format="pyarrow", batch_size=None, concurrency=pool_limits()
-    )
-
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("decile", as_index=False).agg(cnt=("cnt", "sum"))
         g["cnt"] = g["cnt"].astype("int64")
         return g
 
     out = (
-        parts.repartition(1)
-        .map_batches(final, batch_format="pandas", batch_size=None)
+        two_phase(ds, Binner, final, batch_size=None, concurrency=pool_limits())
         .to_pandas()
         .sort_values("decile")
         .reset_index(drop=True)

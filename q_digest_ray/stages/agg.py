@@ -27,9 +27,13 @@ def two_phase(
     batch_size: int | None = 65536,
     fold_rounds: int = 0,
     combine_fn: Callable | None = None,
+    concurrency=None,
 ):
     """partial_fn: Arrow batch → partial rows (Table/DataFrame);
     final_fn: pandas DataFrame of all partials → result DataFrame.
+
+    ``partial_fn`` may be a callable CLASS (actor-pool stage holding
+    broadcast state); pass ``concurrency`` for it, as map_batches requires.
 
     ``fold_rounds`` > 0 inserts intermediate combine rounds (tree fold) for
     very large partial sets: each round coalesces the block count 8x and
@@ -37,7 +41,10 @@ def two_phase(
     partial rows to partial rows (``final_fn`` usually renames/derives
     columns, so re-applying it would break the next round).
     """
-    partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=batch_size)
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    partials = ds.map_batches(
+        partial_fn, batch_format="pyarrow", batch_size=batch_size, **kwargs
+    )
     if fold_rounds > 0:
         if combine_fn is None:
             raise ValueError(

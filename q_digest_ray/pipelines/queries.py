@@ -13,6 +13,13 @@ Two families:
 - **Sketch queries** (``sk_*``) — approximate results; registered without
   SQL oracles (rows-only driver check); their accuracy bounds are asserted
   in tests/ instead (SURVEY.md §7.3.10).
+
+Contract note: every entry here COLLECTS its result to pandas because the
+driver compares result frames; result sizes are aggregate/top-k/sample
+shaped (bounded), except the dedup/anti-join listings whose size tracks
+distinct counts — at true scale a user calls the underlying library
+operators (stages/, pipelines/export), which return streaming Datasets and
+write sinks instead of collecting.
 """
 
 from __future__ import annotations

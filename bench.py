@@ -59,6 +59,8 @@ QUERY_NAMES = [
     "distinct_users_by_type",
     "top_docs_per_lang",
     "top_terms_per_lang",
+    "docs_vs_lang_median",
+    "sk_decile_binning",
 ]
 
 

@@ -27,9 +27,21 @@ def quality_scored(ds):
 
 
 def export_curated(
-    ds, out_dir: str, min_quality: float = 0.3, partition_col: str = "lang"
+    ds,
+    out_dir: str,
+    min_quality: float = 0.3,
+    partition_col: str = "lang",
+    shuffle: str | None = None,
 ) -> str:
-    """Filter by quality and write lang-partitioned Parquet."""
+    """Filter by quality and write lang-partitioned Parquet.
+
+    ``shuffle`` decorrelates training order from source order before the
+    sink (the training-data export knob): ``"blocks"`` randomizes BLOCK
+    order only — a free metadata permutation, usually enough when blocks
+    are themselves source-diverse; ``"rows"`` is a full
+    ``random_shuffle`` — an input-sized all-to-all exchange, the expensive
+    exact option.  Both seeded for reproducibility.
+    """
     import pyarrow.compute as pc
 
     import os
@@ -44,6 +56,12 @@ def export_curated(
         lambda t: t.filter(pc.greater_equal(t["quality_score"], pa.scalar(min_quality))),
         batch_format="pyarrow",
     )
+    if shuffle == "blocks":
+        kept = kept.randomize_block_order(seed=13)
+    elif shuffle == "rows":
+        kept = kept.random_shuffle(seed=13)
+    elif shuffle is not None:
+        raise ValueError(f"shuffle must be None, 'blocks' or 'rows', got {shuffle!r}")
     kept.write_parquet(out_dir, partition_cols=[partition_col])
     return out_dir
 

@@ -716,3 +716,33 @@ def test_sk_decile_binning_mass_within_bound(ray_session, sf_dir):
     frac = out["cnt"].to_numpy() / n
     assert (np.abs(frac - 0.1) < 0.06).all(), frac
     assert (np.diff(out["upper_cut"].to_numpy()[:-1]) >= 0).all()
+
+
+def test_export_curated_shuffle_modes(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import export_curated
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the patient cat "
+        "watches from a warm stone wall in the afternoon sun and the words "
+        "keep flowing in a perfectly ordinary way for this plain test."
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype="int64"),
+            "text": [good + f" Variant {i}." for i in range(40)],
+            "lang": ["en"] * 40,
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(8)
+    outs = {}
+    for mode in (None, "blocks", "rows"):
+        d = str(tmp_path / f"curated_{mode}")
+        export_curated(ds, d, min_quality=0.3, shuffle=mode)
+        outs[mode] = ray.data.read_parquet(d).to_pandas()
+    # same ROWS whatever the shuffle — only order/layout may differ
+    for mode in ("blocks", "rows"):
+        assert set(outs[mode]["doc_id"]) == set(outs[None]["doc_id"])
+    with pytest.raises(ValueError, match="shuffle"):
+        export_curated(ds, str(tmp_path / "bad"), shuffle="bogus")

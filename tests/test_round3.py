@@ -68,7 +68,8 @@ def test_connected_components_giant_component(ray_session):
     from q_digest_ray.stages.concomp import connected_components
 
     rng = np.random.default_rng(5)
-    n = 30_000
+    n = 12_000  # big enough to exercise the hot-center path, small enough
+    # to keep the suite fast under host load
     a = [np.zeros(n // 2, np.int64), np.arange(1, n, dtype=np.int64)]
     b = [
         rng.integers(1, n, n // 2).astype(np.int64),  # hub spokes

@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "top_terms_per_lang",
     "docs_vs_lang_median",
     "sk_decile_binning",
+    "cross_source_contamination",
 ]
 
 

@@ -1700,6 +1700,89 @@ SELECT lang, rn, token, cnt FROM (
 """
 
 
+def cross_source_contamination(sf_dir: str, num_buckets: int | None = None):
+    """Train/test decontamination shape: how many distinct texts sources
+    share pairwise (exact set intersection by 128-bit content key).
+
+    Per-batch distinct (key, source) pairs → key-hash buckets co-locate
+    equal texts → each bucket intersects its per-source key sets
+    (vectorized lexsort walk) → per-(source pair) counts sum exactly.
+    Shuffle volume is ~24 B per distinct (text, source), never the texts."""
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+    B = num_buckets or derive_buckets(ds)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        from q_digest_ray.functions.hashing import content_key128
+
+        h1, h2, bucket = content_key128(batch["text"], B)
+        t = pa.table(
+            {
+                "h": pa.array(h1),
+                "h2": pa.array(h2),
+                "bucket": pa.array(bucket),
+                "source": batch["source"],
+            }
+        )
+        return t.group_by(["h", "h2", "bucket", "source"]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "h2", "source"])
+        # keys appearing under >1 source: emit one row per source PAIR
+        key = list(zip(d["h"], d["h2"]))
+        d = d.assign(_k=key)
+        out = []
+        for _, grp in d.groupby("_k", sort=False):
+            srcs = sorted(grp["source"])
+            if len(srcs) < 2:
+                continue
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    out.append((srcs[i], srcs[j]))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series(dtype="object"),
+                    "source_b": pd.Series(dtype="object"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        c = pd.DataFrame(out, columns=["source_a", "source_b"]).value_counts()
+        c = c.rename("n_shared").reset_index()
+        return c
+
+    df = (
+        ds.map_batches(to_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:
+        # typed empty frame: a bare columns=[...] frame is all-object and
+        # dtype-mismatches the oracle's int64 count on zero-row corpora
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    out = df.groupby(["source_a", "source_b"], as_index=False).agg(
+        n_shared=("n_shared", "sum")
+    )
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+CROSS_SOURCE_CONTAMINATION_SQL = """
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM (SELECT DISTINCT source, text FROM documents) a
+JOIN (SELECT DISTINCT source, text FROM documents) b
+  ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY source_a, source_b
+"""
+
+
 def docs_vs_lang_median(sf_dir: str):
     """Aggregate → broadcast → enrich (the "tag rows against their group's
     statistic" pattern): compute each lang's EXACT median n_chars via the
@@ -1945,6 +2028,7 @@ EXACT_QUERIES = {
     "top_docs_per_lang": (top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
     "top_terms_per_lang": (top_terms_per_lang, TOP_TERMS_PER_LANG_SQL),
     "docs_vs_lang_median": (docs_vs_lang_median, DOCS_VS_LANG_MEDIAN_SQL),
+    "cross_source_contamination": (cross_source_contamination, CROSS_SOURCE_CONTAMINATION_SQL),
 }
 
 SKETCH_QUERIES = {

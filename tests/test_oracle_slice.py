@@ -21,6 +21,7 @@ NAMES = [
     "top_docs_per_lang",
     "top_terms_per_lang",
     "docs_vs_lang_median",
+    "cross_source_contamination",
 ]
 
 

@@ -747,3 +747,27 @@ def test_export_curated_shuffle_modes(ray_session, tmp_path):
         assert set(outs[mode]["doc_id"]) == set(outs[None]["doc_id"])
     with pytest.raises(ValueError, match="shuffle"):
         export_curated(ds, str(tmp_path / "bad"), shuffle="bogus")
+
+
+def test_cross_source_contamination_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import cross_source_contamination
+
+    shared1, shared2 = "alpha beta gamma delta", "omega psi chi phi"
+    t = pa.table(
+        {
+            "text": [shared1, shared1, shared2, shared2, shared2, "solo one", "solo two"],
+            "source": ["a", "b", "a", "b", "c", "a", "c"],
+            "doc_id": np.arange(7, dtype="int64"),
+        }
+    )
+    d = str(tmp_path / "contam")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = cross_source_contamination(d, num_buckets=8)
+    got = {(a, b): int(n) for a, b, n in out.itertuples(index=False)}
+    # shared1 in {a,b}; shared2 in {a,b,c} -> all three pairs
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "docs_vs_lang_median",
     "sk_decile_binning",
     "cross_source_contamination",
+    "sk_unigram_logprob_quality",
 ]
 
 

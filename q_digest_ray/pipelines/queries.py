@@ -1885,6 +1885,72 @@ def sk_decile_binning(sf_dir: str):
     return out[["decile", "upper_cut", "cnt"]]
 
 
+def sk_unigram_logprob_quality(sf_dir: str):
+    """Sketch-as-MODEL scoring (the batched-inference shape): pass 1
+    builds a Count-Min unigram frequency model over all tokens, pass 2
+    broadcasts it once and scores every doc by its mean token surprisal
+    -log2(freq/total) — the cheap perplexity-ish quality signal a curation
+    pipeline uses, with the 'model' being an O(KB) mergeable sketch
+    instead of a fitted LM.  Rows-only (CMS overcount shifts scores
+    within its ε·n bound); output = per-lang mean surprisal."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def to_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({"token": toks.flatten()})
+
+    rows = build_sketches(
+        ds.map_batches(to_tokens, batch_format="pyarrow"),
+        [SketchSpec("tok_cms", "token", "cms", {"depth": 5, "width": 1 << 16})],
+    )
+    cms = collect_sketches(merge_grouped(rows))[("tok_cms", "")]
+    total = max(cms.n, 1)
+    cms_ref = ray.put(cms)
+
+    class Scorer:
+        def __init__(self):
+            self.cms = ray.get(cms_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            est = np.maximum(self.cms.query(flat), 1)
+            surprisal = -np.log2(est / total)
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            n_tok = offs[1:] - offs[:-1]
+            # per-doc mean surprisal (empty docs excluded from the mean)
+            ext = np.append(surprisal, 0.0)
+            doc_sum = np.add.reduceat(ext, np.minimum(offs[:-1], len(surprisal)))
+            doc_sum[n_tok == 0] = 0.0
+            lang = batch["lang"].to_numpy(zero_copy_only=False)
+            keep = n_tok > 0
+            df = pd.DataFrame(
+                {
+                    "lang": lang[keep],
+                    "s": doc_sum[keep] / n_tok[keep],
+                }
+            )
+            return df.groupby("lang", as_index=False).agg(
+                s=("s", "sum"), c=("s", "size")
+            )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
+        g["mean_surprisal_bits"] = (g["s"] / g["c"]).round(4)
+        g["n_docs"] = g["c"].astype("int64")
+        return g[["lang", "mean_surprisal_bits", "n_docs"]]
+
+    out = two_phase(
+        ds, Scorer, final, batch_size=None, concurrency=pool_limits()
+    ).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def sk_sample_users(sf_dir: str):
     """Deterministic mergeable uniform sample of 64 distinct user ids
     (sketches/sample.py — bottom-k by value hash, so the sample is
@@ -2055,5 +2121,6 @@ SKETCH_QUERIES = {
     "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,
     "sk_sample_users": sk_sample_users,
     "sk_decile_binning": sk_decile_binning,
+    "sk_unigram_logprob_quality": sk_unigram_logprob_quality,
     "media_features": media_features,
 }

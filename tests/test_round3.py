@@ -771,3 +771,39 @@ def test_cross_source_contamination_planted(ray_session, tmp_path):
     got = {(a, b): int(n) for a, b, n in out.itertuples(index=False)}
     # shared1 in {a,b}; shared2 in {a,b,c} -> all three pairs
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_sk_unigram_surprisal_matches_exact_on_small_vocab(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import sk_unigram_logprob_quality
+
+    # small vocab + wide CMS => zero collisions, so the sketch scores must
+    # equal the exact-count surprisal computation
+    texts = ["a a b", "b c", "a c c c"]
+    t = pa.table(
+        {
+            "lang": ["en", "en", "de"],
+            "text": texts,
+            "doc_id": np.arange(3, dtype="int64"),
+        }
+    )
+    d = str(tmp_path / "surp")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = sk_unigram_logprob_quality(d).set_index("lang")
+
+    from collections import Counter
+
+    freq = Counter(" ".join(texts).split())
+    total = sum(freq.values())
+
+    def doc_score(s):
+        toks = s.split()
+        return float(np.mean([-np.log2(freq[w] / total) for w in toks]))
+
+    exp_en = round((doc_score(texts[0]) + doc_score(texts[1])) / 2, 4)
+    exp_de = round(doc_score(texts[2]), 4)
+    assert out.loc["en", "mean_surprisal_bits"] == pytest.approx(exp_en, abs=1e-3)
+    assert out.loc["de", "mean_surprisal_bits"] == pytest.approx(exp_de, abs=1e-3)
+    assert out.loc["en", "n_docs"] == 2 and out.loc["de", "n_docs"] == 1

@@ -1639,7 +1639,11 @@ def top_terms_per_lang(sf_dir: str, k: int = 5, num_buckets: int | None = None):
         batch = batch.filter(
             pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
         )
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        # RE2 '\s+' (ASCII whitespace), the SAME regex engine + pattern the
+        # DuckDB oracle's string_split_regex uses — Arrow's
+        # utf8_split_whitespace splits on UNICODE whitespace (U+00A0 etc.)
+        # and would silently diverge on non-ASCII-spaced text (r3 ADVICE)
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()  # ChunkedArray.flatten returns a list
         n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -1726,29 +1730,51 @@ def cross_source_contamination(sf_dir: str, num_buckets: int | None = None):
         return t.group_by(["h", "h2", "bucket", "source"]).aggregate([])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # keys appearing under >1 source: emit one row per source PAIR.
+        # Fully vectorized (lexsort + repeat/combinatorial indexing): a
+        # bucket holds one row per distinct (text, source) — a per-key
+        # Python loop here would be O(distinct texts) group bodies, the
+        # exact anti-pattern the perf rules prohibit (r3 ADVICE item 1).
+        empty = pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
         d = g.drop_duplicates(["h", "h2", "source"])
-        # keys appearing under >1 source: emit one row per source PAIR
-        key = list(zip(d["h"], d["h2"]))
-        d = d.assign(_k=key)
-        out = []
-        for _, grp in d.groupby("_k", sort=False):
-            srcs = sorted(grp["source"])
-            if len(srcs) < 2:
-                continue
-            for i in range(len(srcs)):
-                for j in range(i + 1, len(srcs)):
-                    out.append((srcs[i], srcs[j]))
-        if not out:
-            return pd.DataFrame(
-                {
-                    "source_a": pd.Series(dtype="object"),
-                    "source_b": pd.Series(dtype="object"),
-                    "n_shared": pd.Series(dtype="int64"),
-                }
-            )
-        c = pd.DataFrame(out, columns=["source_a", "source_b"]).value_counts()
-        c = c.rename("n_shared").reset_index()
-        return c
+        if len(d) < 2:
+            return empty
+        h = d["h"].to_numpy()
+        h2 = d["h2"].to_numpy()
+        codes, uniques = pd.factorize(d["source"], sort=True)
+        # equal keys adjacent; sources ascend within a key → a < b by position
+        order = np.lexsort((codes, h2, h))
+        h, h2, codes = h[order], h2[order], codes[order]
+        n = len(h)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        # local = 0-based position within the key's run; row i at local q
+        # pairs as "b" with the q earlier rows i-q..i-1 of its key
+        local = np.arange(n) - np.repeat(starts, sizes)
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        cum = np.concatenate(([0], np.cumsum(local)[:-1]))
+        offs = np.arange(total) - np.repeat(cum, local)
+        a_idx = np.repeat(np.arange(n) - local, local) + offs
+        pair_code = codes[a_idx].astype(np.int64) * len(uniques) + codes[b_idx]
+        pc_vals, pc_counts = np.unique(pair_code, return_counts=True)
+        return pd.DataFrame(
+            {
+                "source_a": uniques[pc_vals // len(uniques)],
+                "source_b": uniques[pc_vals % len(uniques)],
+                "n_shared": pc_counts.astype(np.int64),
+            }
+        )
 
     df = (
         ds.map_batches(to_keys, batch_format="pyarrow")

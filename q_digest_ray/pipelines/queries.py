@@ -2025,72 +2025,85 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
     )
 
 
-def media_features(sf_dir: str):
-    """Multimodal pipeline through the driver gate (rows-only): a
-    deterministic synthetic media table (seeded blobs; audio rows are
-    REAL WAV sines so the stdlib-DSP kernel runs distributed, not just in
-    unit tests) → image + audio actor-pool feature stages → per-type
-    feature summary.  Input-independent (the driver tables carry no media
+def media_features(sf_dir: str, n_media: int = 1000):
+    """Multimodal pipeline through the driver gate (rows-only), fully
+    IN-pipeline end to end (r3 VERDICT item 2 replaced a driver WAV loop
+    + full-feature ``to_pandas``): synthesis runs inside ``map_batches``
+    over ``ray.data.range`` (per-media_id seeded, block-layout invariant;
+    audio rows are REAL WAV sines so the stdlib-DSP kernel runs
+    distributed) → image + audio actor-pool feature stages → per-batch
+    PARTIAL (n, sum_norm) rows → driver folds ~2 x num_batches scalars.
+    The driver never holds a feature matrix, so the shape survives any
+    corpus size.  Input-independent (the driver tables carry no media
     column); ``sf_dir`` is accepted for catalog-signature uniformity."""
-    import io
-    import wave
-
     import ray.data
 
     from q_digest_ray.stages.multimodal import (
         AudioFeatureStage,
         ImageDecodeStage,
-        synthesize_media,
+        synth_media_batch,
     )
 
-    t = synthesize_media(1000, seed=7)
-    # overwrite audio payloads with real WAV sines (deterministic per id)
-    ids = t["media_id"].to_numpy()
-    kinds = t["media_type"].to_pylist()
-    blobs = t["media"].to_pylist()
-    rate = 8000
-    ts = np.arange(rate // 4) / rate  # 250 ms
-    for i, k in enumerate(kinds):
-        if k == "audio":
-            freq = 100.0 + (int(ids[i]) % 20) * 50.0
-            x = (0.5 * np.sin(2 * np.pi * freq * ts) * 32767).astype("<i2")
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(rate)
-                w.writeframes(x.tobytes())
-            blobs[i] = buf.getvalue()
-    t = t.set_column(
-        t.schema.get_field_index("media"), "media", pa.array(blobs, pa.binary())
+    ds = ray.data.range(n_media, override_num_blocks=8).map_batches(
+        lambda b: synth_media_batch(b, seed=7), batch_format="pyarrow"
     )
-    ds = ray.data.from_arrow(t)
-    imgs = ds.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", batch_size=256,
-        concurrency=pool_limits(),
-    ).to_pandas()
-    auds = ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=256,
-        concurrency=pool_limits(),
-    ).to_pandas()
-    img_m = np.stack(imgs["features"].to_numpy()) if len(imgs) else np.zeros((0, 1))
-    aud_m = np.stack(auds["features"].to_numpy()) if len(auds) else np.zeros((0, 1))
-    return pd.DataFrame(
-        [
-            {
-                "media_type": "image",
-                "n": len(imgs),
-                "feature_dim": img_m.shape[1],
-                "mean_norm": round(float(np.linalg.norm(img_m, axis=1).mean()), 4),
-            },
-            {
-                "media_type": "audio",
-                "n": len(auds),
-                "feature_dim": aud_m.shape[1],
-                "mean_norm": round(float(np.linalg.norm(aud_m, axis=1).mean()), 4),
-            },
-        ]
+
+    def norm_partial(tag: str, dim: int):
+        def p(batch: pa.Table) -> pd.DataFrame:
+            lst = batch["features"].combine_chunks()
+            nrows = len(lst)
+            if nrows == 0:
+                return pd.DataFrame(
+                    {
+                        "media_type": [tag],
+                        "n": np.array([0], dtype=np.int64),
+                        "feature_dim": np.array([dim], dtype=np.int64),
+                        "sum_norm": np.array([0.0], dtype=np.float64),
+                    }
+                )
+            vals = lst.flatten().to_numpy(zero_copy_only=False)
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            sq = np.append(vals * vals, 0.0)
+            row_ss = np.add.reduceat(sq, np.minimum(offs[:-1], len(vals)))
+            row_ss[offs[1:] == offs[:-1]] = 0.0
+            return pd.DataFrame(
+                {
+                    "media_type": [tag],
+                    "n": np.array([nrows], dtype=np.int64),
+                    "feature_dim": np.array([dim], dtype=np.int64),
+                    "sum_norm": np.array(
+                        [float(np.sqrt(row_ss).sum())], dtype=np.float64
+                    ),
+                }
+            )
+
+        return p
+
+    stages = [
+        ("image", ImageDecodeStage),
+        ("audio", AudioFeatureStage),
+    ]
+    parts = None
+    for tag, stage in stages:
+        branch = ds.map_batches(
+            stage, batch_format="pyarrow", batch_size=256, concurrency=pool_limits()
+        ).map_batches(
+            norm_partial(tag, stage.FEATURE_DIM),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        parts = branch if parts is None else parts.union(branch)
+    df = parts.to_pandas()  # tiny: one partial row per feature batch
+    g = df.groupby(["media_type", "feature_dim"], as_index=False).agg(
+        n=("n", "sum"), sum_norm=("sum_norm", "sum")
     )
+    g["mean_norm"] = (g["sum_norm"] / g["n"].clip(lower=1)).round(4)
+    g["n"] = g["n"].astype("int64")
+    g["feature_dim"] = g["feature_dim"].astype("int64")
+    order = {"image": 0, "audio": 1}
+    g = g.sort_values("media_type", key=lambda s: s.map(order))
+    return g[["media_type", "n", "feature_dim", "mean_norm"]].reset_index(drop=True)
 
 
 EXACT_QUERIES = {

@@ -1,0 +1,215 @@
+"""Round-4 regression tests: string SampleSketch, vectorized simhash /
+contamination pair emission, pipeline-ized media_features, tokenizer parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from q_digest_ray.sketches.sample import SampleSketch
+
+
+# ---------------------------------------------------------------------------
+# SampleSketch string domain (r3 ADVICE item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_sketch_strings_merge_invariance():
+    hosts = ["host%d.example.com" % (i % 97) for i in range(2000)]
+    whole = SampleSketch(k=32)
+    whole.update_batch(pa.array(hosts))
+    parts = []
+    for lo in range(0, 2000, 311):
+        sk = SampleSketch(k=32)
+        sk.update_batch(pa.array(hosts[lo : lo + 311]))
+        parts.append(sk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert list(merged.sample()) == list(whole.sample())
+    assert merged.n == whole.n == 2000
+    # all sampled values are real inputs
+    assert set(whole.sample()) <= set(hosts)
+    # KMV estimate in a sane band for 97 distinct at k=32 (~18% rel err 1σ)
+    assert 40 < whole.estimate() < 250
+
+
+def test_sample_sketch_string_serde_roundtrip():
+    sk = SampleSketch(k=16)
+    sk.update_batch(pa.array(["a", "bb", "", "ccc", None, "dd"]))
+    rt = SampleSketch.from_bytes(sk.to_bytes())
+    assert list(rt.sample()) == list(sk.sample())
+    assert rt.n == sk.n == 5  # null dropped, empty string kept
+    assert rt.estimate() == sk.estimate()
+
+
+def test_sample_sketch_int_wire_unchanged():
+    sk = SampleSketch(k=16)
+    sk.update_batch(np.arange(100))
+    rt = SampleSketch.from_bytes(sk.to_bytes())
+    assert (rt.sample() == sk.sample()).all() and rt.sample().dtype == np.int64
+
+
+def test_sample_sketch_mode_mismatch_raises():
+    si = SampleSketch(k=8)
+    si.update_batch(np.arange(10))
+    ss = SampleSketch(k=8)
+    ss.update_batch(pa.array(["x", "y"]))
+    with pytest.raises(TypeError):
+        si.update_batch(pa.array(["z"]))
+    with pytest.raises(TypeError):
+        si.merge(ss)
+    # empty sketch adopts the other side's domain on merge
+    fresh = SampleSketch(k=8)
+    fresh.merge(ss)
+    assert list(fresh.sample()) == list(ss.sample())
+
+
+# ---------------------------------------------------------------------------
+# vectorized simhash verify (r3 VERDICT item 3): parity vs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_match_bruteforce(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import hamming64, simhash64, simhash_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = ["the quick brown fox jumps over the lazy dog %d" % i for i in range(40)]
+    texts = []
+    for t in base:
+        texts.append(t)
+        if rng.random() < 0.5:  # near-dup: one token changed
+            toks = t.split()
+            toks[rng.integers(len(toks))] = "w%d" % rng.integers(5)
+            texts.append(" ".join(toks))
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    )
+    got = simhash_dup_pairs(ds, "doc_id", "text", max_hamming=3)
+
+    # brute force: all pairs with hamming <= 3 that share >= 1 16-bit chunk
+    sig = simhash64(pa.array(texts))
+    expect = set()
+    for i in range(len(ids)):
+        d = hamming64(np.full(len(ids) - i - 1, sig[i], np.uint64), sig[i + 1 :])
+        for j_off in np.flatnonzero(d <= 3):
+            expect.add((int(ids[i]), int(ids[i + 1 + j_off])))
+    got_pairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+    # pigeonhole: hamming<=3 over 4 chunks guarantees a shared chunk → exact
+    assert got_pairs == expect
+    assert len(expect) > 0
+
+
+# ---------------------------------------------------------------------------
+# vectorized contamination pair emission (r3 ADVICE item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_multi_source_keys(ray_session, tmp_path):
+    from q_digest_ray.pipelines.queries import cross_source_contamination
+
+    # text shared by 3 sources → 3 pairs; by 2 → 1 pair; unique → none;
+    # a second doc repeating (text, source) must not double-count
+    rows = [
+        ("t-shared3", "s1"),
+        ("t-shared3", "s2"),
+        ("t-shared3", "s3"),
+        ("t-shared3", "s1"),  # duplicate (text, source) — ignored
+        ("t-shared2", "s2"),
+        ("t-shared2", "s3"),
+        ("t-only", "s1"),
+    ] + [("filler %d" % i, "s%d" % (i % 3 + 1)) for i in range(50)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "text": pa.array([r[0] for r in rows]),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = cross_source_contamination(str(d), num_buckets=4)
+    expect = pd.DataFrame(
+        {
+            "source_a": ["s1", "s1", "s2"],
+            "source_b": ["s2", "s3", "s3"],
+            "n_shared": np.array([1, 1, 2], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# media_features: fully in-pipeline + layout invariant (r3 VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_synth_media_batch_layout_invariant():
+    from q_digest_ray.stages.multimodal import synth_media_batch
+
+    whole = synth_media_batch(pa.table({"id": pa.array(np.arange(64))}), seed=7)
+    halves = pa.concat_tables(
+        [
+            synth_media_batch(pa.table({"id": pa.array(np.arange(0, 40))}), seed=7),
+            synth_media_batch(pa.table({"id": pa.array(np.arange(40, 64))}), seed=7),
+        ]
+    )
+    assert whole.equals(halves)
+    kinds = set(whole["media_type"].to_pylist())
+    assert kinds <= {"image", "audio", "video"}
+
+
+def test_media_features_small_and_deterministic(ray_session):
+    from q_digest_ray.pipelines.queries import media_features
+
+    a = media_features("/root/testdata/sf0.001", n_media=120)
+    b = media_features("/root/testdata/sf0.001", n_media=120)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["media_type"]) == ["image", "audio"]
+    assert list(a["feature_dim"]) == [192, 16]
+    assert (a["n"] > 0).all()
+    # audio features are the REAL WAV DSP path: a pure sine's norm is
+    # dominated by the spectral centroid ~ its frequency band (>> fake's
+    # unit-cube features, whose 16-dim norm is < 4)
+    assert float(a.loc[a["media_type"] == "audio", "mean_norm"].iloc[0]) > 50
+
+
+# ---------------------------------------------------------------------------
+# tokenizer parity: Ray side and DuckDB oracle share RE2 '\s+' semantics
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_unicode_whitespace_parity(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import TOP_TERMS_PER_LANG_SQL, top_terms_per_lang
+
+    # U+00A0-joined tokens must be ONE token on both sides
+    texts = ["alpha beta gamma", "alpha beta delta", "gamma gamma"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "lang": pa.array(["en"] * 3),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = top_terms_per_lang(str(d), k=5)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(TOP_TERMS_PER_LANG_SQL).df()
+    exp["rn"] = exp["rn"].astype("int64")
+    exp["cnt"] = exp["cnt"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    assert "alpha beta" in set(got["token"])

@@ -42,15 +42,21 @@ def export_curated(
     ``random_shuffle`` — an input-sized all-to-all exchange, the expensive
     exact option.  Both seeded for reproducibility.
     """
+    import json
+    import os
+    import time
+
     import pyarrow.compute as pc
 
-    import os
-    import shutil
-
     # write_parquet appends uniquely-named files; clear previous output so
-    # a re-run can't double-count (same hazard checkpoint.py guards)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
+    # a re-run can't double-count (same hazard checkpoint.py guards) — but
+    # only output THIS pipeline wrote (marker check): rmtree-ing an
+    # arbitrary non-empty directory would silently destroy unrelated
+    # content (r3 ADVICE item 3)
+    _clear_own_output(out_dir, "_qdr_export.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_qdr_export.json"), "w") as f:
+        json.dump({"pipeline": "export_curated", "created_at": time.time()}, f)
     scored = quality_scored(ds)
     kept = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["quality_score"], pa.scalar(min_quality))),
@@ -64,6 +70,50 @@ def export_curated(
         raise ValueError(f"shuffle must be None, 'blocks' or 'rows', got {shuffle!r}")
     kept.write_parquet(out_dir, partition_cols=[partition_col])
     return out_dir
+
+
+def _clear_own_output(out_dir: str, marker_rel: str) -> None:
+    """Delete ``out_dir`` ONLY if empty or marked as this pipeline's own
+    output (``marker_rel`` exists inside it); refuse otherwise instead of
+    silently destroying unrelated content (r3 ADVICE item 3)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return
+    if not os.listdir(out_dir):
+        return
+    if os.path.exists(os.path.join(out_dir, marker_rel)):
+        shutil.rmtree(out_dir)
+        return
+    raise ValueError(
+        f"refusing to overwrite non-empty directory {out_dir!r}: no "
+        f"{marker_rel} marker found, so it was not written by this "
+        "pipeline — point at a fresh/empty directory or delete it yourself"
+    )
+
+
+def _input_fingerprint(ds, params: dict) -> dict:
+    """Run identity for resume: pipeline params + per-file (size, mtime)
+    of the input parquet.  In-memory lineage (from_pandas etc.) has no
+    input files — the fingerprint then pins params only, which still
+    catches B/threshold/column changes but not data changes; parquet-backed
+    inputs (the production path) get the full check."""
+    import os
+
+    files = None
+    try:
+        paths = sorted(ds.input_files() or [])
+        if paths:
+            files = []
+            for p in paths:
+                st = os.stat(p)
+                files.append(
+                    {"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+                )
+    except Exception:
+        files = None
+    return {"version": 1, "params": params, "input_files": files}
 
 
 def _content_key_adder(text_col: str, B: int):
@@ -117,6 +167,7 @@ def curate_corpus(
     min_quality: float = 0.3,
     partition_col: str = "lang",
     num_buckets: int | None = None,
+    resume: bool = False,
 ) -> dict:
     """The canonical training-data curation pipeline, end to end and
     SINGLE-PASS:
@@ -131,19 +182,37 @@ def curate_corpus(
     input-sized shuffle at scale, r2 VERDICT item 5); here both counts
     fall out of the ONE pass's tiny per-bucket result rows.
 
-    Retry-safe/resumable shape: each bucket writes to deterministic
+    Retry-safe AND resumable: each bucket writes to deterministic
     per-(partition, bucket) file names via atomic os.replace, so a
     retried bucket task overwrites identical content rather than
     appending duplicates (the hazard Ray's uniquely-named write_parquet
     files have under manual re-runs); counts come from the map_groups
     result rows, which Ray Data yields exactly once per group regardless
     of task retries.  ``_manifest/bucket-*.json`` records per-bucket
-    lineage/metrics (rows in/out per partition, wall time) — the
-    checkpoint.py pattern.
+    lineage/metrics (rows in/out per partition, wall time), written AFTER
+    the bucket's partition files — manifest presence IS the bucket's
+    commit record.  With ``resume=True`` a killed run restarts by reading
+    those manifests, filtering the already-committed buckets out of the
+    pipeline BEFORE the shuffle, and merging their recorded counts into
+    the funnel — so a 100-TB curation re-run pays only for the missing
+    buckets (r3 VERDICT item 1; the checkpoint.py shard pattern applied
+    to the bucketed sink).  ``_manifest/_run.json`` pins the run identity
+    (params + input file fingerprints); resuming against changed input or
+    params raises instead of silently mixing two corpora.
+
+    Filesystem note: bucket tasks write ``out_dir`` from Ray WORKERS.  On
+    a multi-node cluster ``out_dir`` must therefore be a SHARED
+    filesystem (NFS/Lustre/fuse-mounted object store) visible at the same
+    path on every node — on node-local paths the per-bucket files would
+    scatter across hosts.  This single-node sandbox satisfies it
+    trivially; a cloud deployment would swap the ``pq.write_table``/
+    ``os.replace`` calls for a ``pyarrow.fs`` URI (object stores have no
+    atomic rename — the manifest-after-data protocol is what makes the
+    non-atomic copy safe there).
     """
+    import glob
     import json
     import os
-    import shutil
     import time
 
     import pyarrow.compute as pc
@@ -152,12 +221,58 @@ def curate_corpus(
     from q_digest_ray.functions.text import quality_features, quality_score
     from q_digest_ray.stages.partitioning import derive_buckets
 
-    # deterministic names only protect a single run; clear previous output
-    # so a re-run with different B can't leave stale bucket files behind
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     B = num_buckets or derive_buckets(ds)
+    params = {
+        "pipeline": "curate_corpus",
+        "num_buckets": B,
+        "min_quality": min_quality,
+        "partition_col": partition_col,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    fp = _input_fingerprint(ds, params)
+    run_path = os.path.join(out_dir, "_manifest", "_run.json")
+    done_entries: list[dict] = []
+    if resume and os.path.isdir(out_dir) and os.listdir(out_dir):
+        if not os.path.exists(run_path):
+            raise ValueError(
+                f"cannot resume: {run_path} missing — {out_dir!r} is not an "
+                "interrupted curate_corpus output"
+            )
+        with open(run_path) as f:
+            prev = json.load(f)
+        if prev != fp:
+            raise ValueError(
+                "refusing to resume: input files or parameters changed since "
+                "the interrupted run (stale bucket outputs would be silently "
+                "mixed with the new corpus) — use resume=False for a fresh run"
+            )
+        for mp in sorted(glob.glob(os.path.join(out_dir, "_manifest", "bucket-*.json"))):
+            try:
+                with open(mp) as f:
+                    entry = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # torn manifest (shouldn't happen: atomic publish)
+            bucket = int(entry["bucket"])
+            if all(
+                os.path.exists(
+                    os.path.join(
+                        out_dir, f"{partition_col}={k}", f"bucket-{bucket:05d}.parquet"
+                    )
+                )
+                for k in entry["partitions"]
+            ):
+                done_entries.append(entry)
+    elif not resume:
+        # deterministic names only protect a single run; clear previous
+        # output so a re-run with different B can't leave stale bucket
+        # files behind — but only output curate_corpus itself wrote
+        _clear_own_output(out_dir, os.path.join("_manifest", "_run.json"))
+    done_buckets = {int(e["bucket"]) for e in done_entries}
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    with open(run_path + f".tmp.{os.getpid()}", "w") as f:
+        json.dump(fp, f)
+    os.replace(run_path + f".tmp.{os.getpid()}", run_path)
     n_in = ds.count()  # parquet metadata for reads; no extra pass
 
     # hive's convention for a NULL partition value; pyarrow's hive
@@ -218,12 +333,46 @@ def curate_corpus(
         ]
         return pd.DataFrame(rows)
 
+    keyed = ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow")
+    if done_buckets:
+        # committed buckets drop out BEFORE the shuffle: their rows never
+        # leave the map stage, so the resume pays only for missing buckets
+        done_arr = pa.array(sorted(done_buckets), pa.int32())
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["__bucket"], value_set=done_arr))
+            )
+
+        keyed = keyed.map_batches(drop_done, batch_format="pyarrow")
     stats = (
-        ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow")
-        .groupby("__bucket")
+        keyed.groupby("__bucket")
         .map_groups(process_bucket, batch_format="pandas")
         .to_pandas()  # tiny: <= B x distinct partition values rows
     )
+    if stats.empty:  # everything already committed (or empty input)
+        stats = pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int64"),
+                "n_after_dedup": pd.Series(dtype="int64"),
+                "partition": pd.Series(dtype="object"),
+                "n_rows": pd.Series(dtype="int64"),
+            }
+        )
+    n_buckets_processed = int(stats["bucket"].nunique())
+    # skipped buckets contribute their manifest-recorded counts
+    done_rows = [
+        {
+            "bucket": int(e["bucket"]),
+            "n_after_dedup": int(e["rows_after_dedup"]),
+            "partition": k,
+            "n_rows": int(c),
+        }
+        for e in done_entries
+        for k, c in (e["partitions"] or {None: 0}).items()
+    ]
+    if done_rows:
+        stats = pd.concat([stats, pd.DataFrame(done_rows)], ignore_index=True)
     per_bucket = stats.drop_duplicates("bucket")
     exported = stats[stats["partition"].notna()]
     per_partition = {
@@ -235,4 +384,6 @@ def curate_corpus(
         "n_after_dedup": int(per_bucket["n_after_dedup"].sum()),
         "n_exported": int(exported["n_rows"].sum()),
         "per_partition": per_partition,
+        "n_buckets_processed": n_buckets_processed,
+        "n_buckets_skipped": len(done_buckets),
     }

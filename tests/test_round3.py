@@ -286,7 +286,7 @@ def test_curate_corpus_manifests_match_counts(ray_session, tmp_path):
     # the returned counts AND the files actually on disk
     manifests = [
         json.load(open(p))
-        for p in sorted(glob.glob(os.path.join(out_dir, "_manifest", "*.json")))
+        for p in sorted(glob.glob(os.path.join(out_dir, "_manifest", "bucket-*.json")))
     ]
     assert sum(m["rows_after_dedup"] for m in manifests) == funnel["n_after_dedup"]
     assert sum(m["rows_exported"] for m in manifests) == funnel["n_exported"]

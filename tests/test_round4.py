@@ -213,3 +213,149 @@ def test_top_terms_unicode_whitespace_parity(ray_session, tmp_path):
         got.reset_index(drop=True), exp.reset_index(drop=True)
     )
     assert "alpha beta" in set(got["token"])
+
+
+# ---------------------------------------------------------------------------
+# resumable curate_corpus (r3 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+GOOD_TEXT = (
+    "The quick brown fox jumps over the lazy dog while the patient cat "
+    "watches from a warm stone wall in the afternoon sun and the words "
+    "keep flowing in a perfectly ordinary way for this plain test."
+)
+
+
+def _curation_input(tmp_path, n=60):
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "text": [GOOD_TEXT + f" Variant {i % (n - 10)}." for i in range(n)],
+            "lang": rng.choice(["en", "de", "fr"], n),
+        }
+    )
+    p = tmp_path / "input.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), str(p))
+    return str(p)
+
+
+def _tree_files(root):
+    import glob
+    import os
+
+    return sorted(
+        os.path.relpath(f, root)
+        for f in glob.glob(os.path.join(root, "*", "*.parquet"))
+    )
+
+
+def test_curate_corpus_kill_and_resume(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    inp = _curation_input(tmp_path)
+    full_dir = str(tmp_path / "full")
+    funnel_full = curate_corpus(
+        ray.data.read_parquet(inp), full_dir, num_buckets=8
+    )
+    assert funnel_full["n_buckets_skipped"] == 0
+
+    # "kill": run fully, then erase half the buckets' commits (manifest +
+    # partition files) as if those tasks never finished
+    res_dir = str(tmp_path / "resumed")
+    curate_corpus(ray.data.read_parquet(inp), res_dir, num_buckets=8)
+    import glob as g
+
+    manifests = sorted(g.glob(os.path.join(res_dir, "_manifest", "bucket-*.json")))
+    assert len(manifests) >= 2
+    killed = manifests[:: 2]  # every other bucket "in flight" at the kill
+    import json
+
+    n_killed = 0
+    for mp in killed:
+        entry = json.load(open(mp))
+        b = int(entry["bucket"])
+        for k in entry["partitions"]:
+            fp = os.path.join(res_dir, f"lang={k}", f"bucket-{b:05d}.parquet")
+            if os.path.exists(fp):
+                os.remove(fp)
+        os.remove(mp)
+        n_killed += 1
+
+    funnel_res = curate_corpus(
+        ray.data.read_parquet(inp), res_dir, num_buckets=8, resume=True
+    )
+    assert funnel_res["n_buckets_processed"] == n_killed
+    assert funnel_res["n_buckets_skipped"] == len(manifests) - n_killed
+    for k in ("n_in", "n_after_dedup", "n_exported", "per_partition"):
+        assert funnel_res[k] == funnel_full[k], k
+
+    # identical partition trees, byte-identical files
+    assert _tree_files(res_dir) == _tree_files(full_dir)
+    for rel in _tree_files(full_dir):
+        a = open(os.path.join(full_dir, rel), "rb").read()
+        b = open(os.path.join(res_dir, rel), "rb").read()
+        assert a == b, f"{rel} differs after resume"
+
+    # a second resume has nothing to do and returns the same funnel
+    funnel_noop = curate_corpus(
+        ray.data.read_parquet(inp), res_dir, num_buckets=8, resume=True
+    )
+    assert funnel_noop["n_buckets_processed"] == 0
+    assert funnel_noop["n_exported"] == funnel_full["n_exported"]
+    assert funnel_noop["per_partition"] == funnel_full["per_partition"]
+
+
+def test_curate_corpus_resume_rejects_changed_input(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus
+
+    inp = _curation_input(tmp_path)
+    out = str(tmp_path / "out")
+    curate_corpus(ray.data.read_parquet(inp), out, num_buckets=8)
+    # rewrite the input (different bytes/mtime) → resume must refuse
+    t = pq.read_table(inp)
+    pq.write_table(t.slice(0, 40), inp)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        curate_corpus(ray.data.read_parquet(inp), out, num_buckets=8, resume=True)
+    # ...and changed params must refuse too (restore input first)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        curate_corpus(
+            ray.data.read_parquet(inp), out, num_buckets=16, resume=True
+        )
+
+
+def test_export_dirs_refuse_foreign_content(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.pipelines.export import curate_corpus, export_curated
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype="int64"),
+            "text": [GOOD_TEXT + f" V{i}." for i in range(5)],
+            "lang": ["en"] * 5,
+        }
+    )
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "keep-me.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        curate_corpus(ray.data.from_pandas(docs), str(foreign))
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        export_curated(ray.data.from_pandas(docs), str(foreign))
+    assert (foreign / "keep-me.txt").read_text() == "do not delete"
+
+    # but a re-run over this pipeline's OWN output is allowed (marker)
+    own = str(tmp_path / "own")
+    curate_corpus(ray.data.from_pandas(docs), own)
+    funnel = curate_corpus(ray.data.from_pandas(docs), own)  # no raise
+    assert funnel["n_exported"] == 5
+    own2 = str(tmp_path / "own2")
+    export_curated(ray.data.from_pandas(docs), own2, min_quality=0.0)
+    export_curated(ray.data.from_pandas(docs), own2, min_quality=0.0)  # no raise

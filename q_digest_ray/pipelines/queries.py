@@ -1031,6 +1031,22 @@ def minhash_dedup_distributed(sf_dir: str):
     )
 
 
+def minhash_dedup_streaming(sf_dir: str):
+    """The STREAMING group API (``minhash_dup_groups_ds`` — library output
+    is a Dataset, no driver-side assembly or scoring at all, r3 VERDICT
+    item 5); collected + sorted only here at the catalog boundary, and
+    must produce byte-identical rows to ``minhash_dedup``."""
+    from q_digest_ray.stages.dedup import minhash_dup_groups_ds
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_dup_groups_ds(ds, "doc_id", "text", threshold=0.8).to_pandas()
+    if out.empty:  # Ray drops empty-block schemas; match minhash_dedup's shape
+        return pd.DataFrame(columns=["doc_id", "group_id", "jaccard_to_root"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["group_id"] = out["group_id"].astype("int64")
+    return out.sort_values(["group_id", "doc_id"]).reset_index(drop=True)
+
+
 def simhash_pairs(sf_dir: str):
     from q_digest_ray.stages.dedup import simhash_dup_pairs
 
@@ -2140,6 +2156,7 @@ SKETCH_QUERIES = {
     "corpus_sample_stats": corpus_sample_stats,
     "minhash_dedup": minhash_dedup,
     "minhash_dedup_distributed": minhash_dedup_distributed,
+    "minhash_dedup_streaming": minhash_dedup_streaming,
     "simhash_pairs": simhash_pairs,
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_topk": ann_lsh_topk,

@@ -452,3 +452,37 @@ def test_minhash_streaming_no_dups(ray_session, tmp_path):
     back = pq.read_table(sink + "/part-00000.parquet")
     assert back.num_rows == 0
     assert back.schema.names == ["doc_id", "group_id", "jaccard_to_root"]
+
+
+# ---------------------------------------------------------------------------
+# flagship exercises all nine sketch families (r3 VERDICT missing item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_flagship_covers_all_nine_families(ray_session):
+    from q_digest_ray.pipelines.flagship import (
+        cc_pages_specs,
+        documents_specs,
+        run_documents_flagship,
+    )
+
+    for specs in (documents_specs(), cc_pages_specs()):
+        kinds = {s.kind for s in specs}
+        assert kinds == {
+            "qdigest",
+            "tdigest",
+            "kll",
+            "hll",
+            "cms",
+            "bloom",
+            "kmv",
+            "mg",
+            "sample",
+        }
+    df = run_documents_flagship("/root/testdata/sf0.001")
+    by_metric = dict(df.groupby("metric")["stat"].apply(list))
+    assert "distinct_estimate" in by_metric["distinct_text_kmv"]
+    assert "top_count" in by_metric["lang_mg"]
+    assert "sample_held" in by_metric["doc_sample"]
+    n = df[(df["metric"] == "doc_sample") & (df["stat"] == "n")]["value"].iloc[0]
+    assert n == 500  # sf0.001 documents row count

@@ -946,6 +946,154 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def brand_revenue(sf_dir: str):
+    """lineitem ⋈ part via broadcast lookup — the DIMENSION-join shape
+    (part is ~0.2% of lineitem at any TPC-H SF: ``ray.put`` the sorted
+    (partkey → brand) arrays once, vectorized searchsorted per batch; the
+    fact-fact shape is revenue_by_priority's bucketed_join).  Exact
+    fixed-point revenue per brand."""
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk = np.asarray(part["p_partkey"])
+    order = np.argsort(pk)
+    lookup = {
+        "keys": pk[order],
+        "brand": np.array(part["p_brand"].to_pylist(), dtype=object)[order],
+    }
+    ref = ray.put(lookup)
+
+    class JoinAgg:
+        def __init__(self):
+            lk = ray.get(ref)
+            self.keys = lk["keys"]
+            self.brand = lk["brand"]
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            from q_digest_ray.functions.fixedpoint import scaled_int64
+
+            k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, k)
+            # inner-join guard: drop partkeys absent from part (OOB/mis-
+            # attribution hazard, same as order_revenue_by_nation)
+            pos_safe = np.minimum(pos, len(self.keys) - 1)
+            present = self.keys[pos_safe] == k
+            brands = self.brand[pos_safe[present]]
+            p100 = scaled_int64(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[present], 2
+            )
+            d100 = scaled_int64(
+                batch["l_discount"].to_numpy(zero_copy_only=False)[present], 2
+            )
+            df = pd.DataFrame({"p_brand": brands, "rev4": p100 * (100 - d100)})
+            return df.groupby("p_brand", sort=False, as_index=False).agg(
+                s=("rev4", "sum"), c=("rev4", "size")
+            )
+
+    from q_digest_ray.functions.fixedpoint import exact_sum, round_scaled_half_up
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in df.groupby("p_brand"):
+            rows.append(
+                {
+                    "p_brand": b,
+                    "revenue": round_scaled_half_up(exact_sum(g["s"]), 10**4, 2),
+                    "n_items": exact_sum(g["c"]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    out = two_phase(
+        ds, JoinAgg, final, batch_size=None, concurrency=pool_limits()
+    ).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+BRAND_REVENUE_SQL = """
+SELECT p_brand,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def supplier_region_acctbal(sf_dir: str):
+    """supplier ⋈ nation ⋈ region — the full TPC-H dimension chain,
+    resolved as ONE composed broadcast: nation→region collapses
+    driver-side (25 x 5 rows), suppliers stream through a vectorized
+    nationkey → region-name lookup.  Exact cents via fixed-point."""
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    nk = np.asarray(nat["n_nationkey"])
+    nrk = np.asarray(nat["n_regionkey"])
+    rk = np.asarray(reg["r_regionkey"])
+    rn = np.array(reg["r_name"].to_pylist(), dtype=object)
+    order_r = np.argsort(rk)
+    rpos = np.searchsorted(rk[order_r], nrk)
+    region_by_nation = dict(zip(nk.tolist(), rn[order_r][rpos].tolist()))
+    ref = ray.put(region_by_nation)
+
+    class Tagger:
+        def __init__(self):
+            m = ray.get(ref)
+            keys = np.array(sorted(m), dtype=np.int64)
+            self.keys = keys
+            self.names = np.array([m[k] for k in keys.tolist()], dtype=object)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            from q_digest_ray.functions.fixedpoint import scaled_int64
+
+            snk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, snk)
+            pos_safe = np.minimum(pos, len(self.keys) - 1)
+            ok = self.keys[pos_safe] == snk
+            names = self.names[pos_safe[ok]]
+            bal100 = scaled_int64(
+                batch["s_acctbal"].to_numpy(zero_copy_only=False)[ok], 2
+            )
+            df = pd.DataFrame({"r_name": names, "b": bal100})
+            return df.groupby("r_name", sort=False, as_index=False).agg(
+                s=("b", "sum"), c=("b", "size")
+            )
+
+    from q_digest_ray.functions.fixedpoint import exact_sum, round_scaled_half_up
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r, g in df.groupby("r_name"):
+            rows.append(
+                {
+                    "r_name": r,
+                    "total_acctbal": round_scaled_half_up(exact_sum(g["s"]), 100, 2),
+                    "n_suppliers": exact_sum(g["c"]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    out = two_phase(
+        ds, Tagger, final, batch_size=None, concurrency=pool_limits()
+    ).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+SUPPLIER_REGION_ACCTBAL_SQL = """
+SELECT r_name,
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal,
+       count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -2141,6 +2289,8 @@ EXACT_QUERIES = {
     "asof_join_orders": (asof_join_orders, ASOF_JOIN_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
+    "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
+    "supplier_region_acctbal": (supplier_region_acctbal, SUPPLIER_REGION_ACCTBAL_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),

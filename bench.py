@@ -63,6 +63,9 @@ QUERY_NAMES = [
     "sk_decile_binning",
     "cross_source_contamination",
     "sk_unigram_logprob_quality",
+    "minhash_dedup_streaming",
+    "brand_revenue",
+    "supplier_region_acctbal",
 ]
 
 

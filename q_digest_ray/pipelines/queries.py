@@ -2141,6 +2141,118 @@ def sk_unigram_logprob_quality(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def sk_rank_error_by_lang(sf_dir: str):
+    """The reference's exact-vs-estimate harness (SURVEY §2.1 item 29 —
+    qcore's test main only printf'd the comparison) as a first-class
+    DISTRIBUTED catalog query: one streaming pass builds the exact
+    (lang, n_chars) value-counts histogram, one builds grouped Q-Digests;
+    the driver folds both tiny results into per-(lang, p) empirical rank
+    errors.  Partial volume is distinct (lang, value) pairs — bounded by
+    value cardinality, never rows.  Rows-only by nature; the ε =
+    log2(σ)/k bound on rank_err is asserted in tests/test_round4.py."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.select(["lang", "n_chars", "n_chars_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("n_chars_count", "sum")
+        )
+
+    hist = two_phase(ds, partial, final).to_pandas()
+    rows_sk = build_sketches(
+        ds,
+        [
+            SketchSpec(
+                "q", "n_chars", "qdigest", {"k": 256, "universe_bits": 16},
+                group_by="lang",
+            )
+        ],
+    )
+    sks = collect_sketches(merge_grouped(rows_sk))
+    out = []
+    for (_, lang), sk in sorted(sks.items()):
+        g = hist[hist["lang"] == lang].sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        csum = g["cnt"].to_numpy().cumsum()
+        n = int(csum[-1])
+        for p in (0.5, 0.9, 0.99):
+            est = float(sk.quantile(p))
+            # ceil rank = quantile_disc convention, so `exact` agrees with
+            # the oracle-backed nchars_quantiles_by_lang (the sketch itself
+            # uses the C truncated rank — the ≤1/n convention gap is well
+            # inside the ε bound and included in rank_err honestly)
+            target = int(np.ceil(p * n))
+            exact = int(vals[np.searchsorted(csum, max(target, 1), side="left")])
+            # empirical rank interval of the estimate: [#values < est,
+            # #values <= est]; error = distance from the target to it
+            i_le = np.searchsorted(vals, est, side="right")
+            i_lt = np.searchsorted(vals, est, side="left")
+            cnt_le = int(csum[i_le - 1]) if i_le > 0 else 0
+            cnt_lt = int(csum[i_lt - 1]) if i_lt > 0 else 0
+            if cnt_lt <= target <= cnt_le:
+                err = 0.0
+            else:
+                err = min(abs(target - cnt_lt), abs(target - cnt_le)) / n
+            out.append(
+                {
+                    "lang": lang,
+                    "p": p,
+                    "exact": exact,
+                    "estimate": est,
+                    "rank_err": round(err, 5),
+                }
+            )
+    df = pd.DataFrame(out)
+    df["exact"] = df["exact"].astype("int64")
+    return df.sort_values(["lang", "p"]).reset_index(drop=True)
+
+
+def sk_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary (distinct-token set) Jaccard between sources
+    via GROUPED KMV sketches + mergeable set ops: tokens flatten per
+    batch, one KMV per source builds distributed, the driver intersects
+    the tiny sketches pairwise (kmv.jaccard_estimate — Beyer et al.
+    set-op estimators).  The 'how much do my crawl snapshots overlap'
+    primitive, with O(sources · k) driver state however large the
+    corpus.  Rows-only (estimates; bound-tested vs exact in tests)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def to_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n_tok)
+        t = pa.table({"source": pa.array(src), "token": toks.flatten()})
+        return t.filter(pc.not_equal(t["token"], pa.scalar("")))
+
+    rows = build_sketches(
+        ds.map_batches(to_tokens, batch_format="pyarrow"),
+        [SketchSpec("vocab", "token", "kmv", {"k": 512}, group_by="source")],
+    )
+    sks = collect_sketches(merge_grouped(rows))
+    sources = sorted(key for _, key in sks.keys())
+    out = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            sa, sb = sks[("vocab", a)], sks[("vocab", b)]
+            out.append(
+                {
+                    "source_a": a,
+                    "source_b": b,
+                    "jaccard_est": round(sa.jaccard_estimate(sb), 4),
+                    "distinct_a_est": round(sa.estimate(), 1),
+                    "distinct_b_est": round(sb.estimate(), 1),
+                }
+            )
+    return pd.DataFrame(out).sort_values(["source_a", "source_b"]).reset_index(
+        drop=True
+    )
+
+
 def sk_sample_users(sf_dir: str):
     """Deterministic mergeable uniform sample of 64 distinct user ids
     (sketches/sample.py — bottom-k by value hash, so the sample is
@@ -2328,5 +2440,7 @@ SKETCH_QUERIES = {
     "sk_sample_users": sk_sample_users,
     "sk_decile_binning": sk_decile_binning,
     "sk_unigram_logprob_quality": sk_unigram_logprob_quality,
+    "sk_rank_error_by_lang": sk_rank_error_by_lang,
+    "sk_source_vocab_overlap": sk_source_vocab_overlap,
     "media_features": media_features,
 }

@@ -486,3 +486,63 @@ def test_flagship_covers_all_nine_families(ray_session):
     assert "sample_held" in by_metric["doc_sample"]
     n = df[(df["metric"] == "doc_sample") & (df["stat"] == "n")]["value"].iloc[0]
     assert n == 500  # sf0.001 documents row count
+
+
+# ---------------------------------------------------------------------------
+# new r4 sketch queries: rank-error harness + grouped-KMV vocab overlap
+# ---------------------------------------------------------------------------
+
+
+def test_sk_rank_error_within_bound(ray_session):
+    from q_digest_ray.pipelines.queries import (
+        nchars_quantiles_by_lang,
+        sk_rank_error_by_lang,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    harness = sk_rank_error_by_lang(sf)
+    assert len(harness) > 0
+    # the Q-Digest guarantee: rank error <= log2(universe)/k = 16/256
+    assert (harness["rank_err"] <= 16 / 256).all()
+    # the harness's own exact column must agree with the oracle-backed
+    # exact-quantile query
+    exact = nchars_quantiles_by_lang(sf).set_index("lang")
+    for (lang, p), g in harness.groupby(["lang", "p"]):
+        col = {0.5: "p50", 0.9: "p90", 0.99: "p99"}[p]
+        assert int(g["exact"].iloc[0]) == int(exact.loc[lang, col])
+
+
+def test_sk_vocab_overlap_planted(ray_session, tmp_path):
+    import ray.data
+
+    from q_digest_ray.stages.build import SketchSpec, build_sketches
+    from q_digest_ray.stages.merge import collect_sketches, merge_grouped
+
+    # vocab A = w0..w99; vocab B = w50..w149 → true Jaccard = 50/150
+    docs = []
+    for i in range(100):
+        docs.append(("A", "w%d" % i))
+        docs.append(("B", "w%d" % (i + 50)))
+    t = pa.table(
+        {
+            "source": pa.array([d[0] for d in docs]),
+            "token": pa.array([d[1] for d in docs]),
+        }
+    )
+    rows = build_sketches(
+        ray.data.from_arrow(t),
+        [SketchSpec("vocab", "token", "kmv", {"k": 512}, group_by="source")],
+    )
+    sks = collect_sketches(merge_grouped(rows))
+    ja = sks[("vocab", "A")].jaccard_estimate(sks[("vocab", "B")])
+    # k=512 >= distinct(150): the KMV holds every hash → estimate is exact
+    assert abs(ja - 50 / 150) < 1e-9
+
+
+def test_sk_vocab_overlap_query_runs(ray_session):
+    from q_digest_ray.pipelines.queries import sk_source_vocab_overlap
+
+    out = sk_source_vocab_overlap("/root/testdata/sf0.001")
+    n_src = len(set(out["source_a"]) | set(out["source_b"]))
+    assert len(out) == n_src * (n_src - 1) // 2
+    assert ((out["jaccard_est"] >= 0) & (out["jaccard_est"] <= 1)).all()

@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "minhash_dedup_streaming",
     "brand_revenue",
     "supplier_region_acctbal",
+    "paragraph_dedup_docs",
 ]
 
 

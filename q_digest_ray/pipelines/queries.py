@@ -1179,6 +1179,44 @@ def minhash_dedup_distributed(sf_dir: str):
     )
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Corpus-level paragraph dedup keep-first (stages/dedup.py
+    ``paragraph_dedup`` — the RefinedWeb/Gopher curation op): paragraphs
+    keep only their first global (doc_id, pos) occurrence, docs are
+    reassembled from survivors, fully-deduped docs drop out.  On the
+    synthetic corpus every doc is a single paragraph (no \\n\\n), so the
+    oracle degenerates to exact keep-first text dedup — still a full
+    end-to-end differential over both bucketed exchanges; the multi-
+    paragraph path is DuckDB-differential-tested on planted corpora in
+    tests/test_round4.py."""
+    from q_digest_ray.stages.dedup import paragraph_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = paragraph_dedup(ds, "doc_id", "text").to_pandas()
+    for c in ("doc_id", "n_paras_in", "n_paras_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH paras AS (
+  SELECT doc_id, unnest(range(1, len(ps)+1)) AS pos, unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, e'\n\n') AS ps
+        FROM documents WHERE text IS NOT NULL)
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_in
+  FROM paras
+)
+SELECT doc_id, CAST(any_value(n_in) AS BIGINT) AS n_paras_in,
+       count(*) AS n_paras_kept,
+       string_agg(para, e'\n\n' ORDER BY pos) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def minhash_dedup_streaming(sf_dir: str):
     """The STREAMING group API (``minhash_dup_groups_ds`` — library output
     is a Dataset, no driver-side assembly or scoring at all, r3 VERDICT
@@ -2402,6 +2440,7 @@ EXACT_QUERIES = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "revenue_by_priority": (revenue_by_priority, REVENUE_BY_PRIORITY_SQL),
     "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
+    "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "supplier_region_acctbal": (supplier_region_acctbal, SUPPLIER_REGION_ACCTBAL_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),

@@ -839,6 +839,173 @@ def simhash_dup_pairs(
     )
 
 
+def paragraph_dedup(
+    ds,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    num_buckets: int | None = None,
+):
+    """Corpus-level PARAGRAPH dedup, keep-first (the RefinedWeb/Gopher
+    curation op): every paragraph keeps only its first global occurrence
+    — ordered by (doc_id, position) — and each doc is reassembled from
+    its surviving paragraphs; docs left with zero paragraphs drop out.
+
+    Scale shape (two bucketed exchanges, texts move once):
+
+      1. docs → per-batch paragraph KEY rows (128-bit content key +
+         (doc_id, pos) — ~24 B/paragraph, the text itself never ships) →
+         key-hash buckets; per bucket a lexsort marks every non-first
+         occurrence and emits only the DROP list (doc_id, pos);
+      2. docs (bucketed by hash(doc_id)) union drop rows → per bucket a
+         fully vectorized rebuild: Arrow split → flat keep mask (pandas
+         merge on (doc_id, pos), exact) → ListArray.from_arrays over
+         recomputed offsets → ``pc.binary_join``.
+
+    Returns a Dataset of (doc_id, n_paras_in, n_paras_kept, text).
+    Positions are 1-based (matches the SQL oracle's generate_series).
+    Null-text docs are excluded, like every text operator here."""
+    import ray.data
+
+    B = num_buckets or derive_buckets(ds)
+
+    def para_keys(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        lists = pc.split_pattern(batch[text_col], sep)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_par = offs[1:] - offs[:-1]
+        doc = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64), n_par
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], n_par) + 1
+        from q_digest_ray.functions.hashing import content_key128
+
+        h1, h2, bucket = content_key128(flat, B)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "bucket": pa.array(bucket),
+                "doc_id": pa.array(doc),
+                "pos": pa.array(pos),
+            }
+        )
+
+    def drops_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, doc, h2, h1))
+        h1, h2, doc, pos = h1[order], h2[order], doc[order], pos[order]
+        first = np.ones(len(h1), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return pd.DataFrame({"doc_id": doc[~first], "pos": pos[~first]})
+
+    drops = (
+        ds.map_batches(para_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(drops_in_bucket, batch_format="pandas")
+    )
+
+    # pass 2: docs union drop rows, co-located by hash(doc_id)
+    def doc_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        d64 = pc.cast(batch[id_col], pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (hash64(d64) % np.uint64(B)).astype(np.int32)
+                ),
+                "side": pa.array(np.zeros(batch.num_rows, np.int8)),
+                "doc_id": d64,
+                "text": pc.cast(batch[text_col], pa.large_string()),
+                "pos": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def drop_side(batch: pa.Table) -> pa.Table:
+        d64 = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (hash64(d64) % np.uint64(B)).astype(np.int32)
+                ),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+                "doc_id": d64,
+                "text": pa.nulls(batch.num_rows, pa.large_string()),
+                "pos": pc.cast(batch["pos"], pa.int64()),
+            }
+        )
+
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_paras_in", pa.int64()),
+            ("n_paras_kept", pa.int64()),
+            ("text", pa.large_string()),
+        ]
+    )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        side = g["side"]
+        docs = g.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        dr = g.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        if docs.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        lists = pc.split_pattern(docs["text"].combine_chunks(), sep)
+        flat = lists.flatten()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_par = offs[1:] - offs[:-1]
+        doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(doc_ids, n_par)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], n_par) + 1
+        pdf = pd.DataFrame({"doc_id": doc_rep, "pos": pos})
+        m = pdf.merge(
+            pd.DataFrame(
+                {
+                    "doc_id": dr["doc_id"].to_numpy(zero_copy_only=False),
+                    "pos": dr["pos"].to_numpy(zero_copy_only=False),
+                }
+            ).drop_duplicates(),
+            on=["doc_id", "pos"],
+            how="left",
+            indicator=True,
+        )
+        keep = (m["_merge"] == "left_only").to_numpy()
+        keep_ext = np.append(keep.astype(np.int64), 0)
+        kept_counts = np.add.reduceat(keep_ext, np.minimum(offs[:-1], len(keep)))
+        kept_counts[n_par == 0] = 0
+        new_offs = np.zeros(len(kept_counts) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=new_offs[1:])
+        kept_flat = flat.filter(pa.array(keep))
+        new_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), kept_flat.cast(pa.large_string())
+        )
+        text_out = pc.binary_join(new_lists, pa.scalar(sep, pa.large_string()))
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_paras_in": pa.array(n_par),
+                "n_paras_kept": pa.array(kept_counts),
+                "text": text_out,
+            }
+        )
+        return out.filter(pc.greater(out["n_paras_kept"], 0)).cast(_OUT_SCHEMA)
+
+    return (
+        ds.map_batches(doc_side, batch_format="pyarrow")
+        .union(drops.map_batches(drop_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
 def embedding_dup_pairs(
     ds,
     id_col: str,

@@ -546,3 +546,88 @@ def test_sk_vocab_overlap_query_runs(ray_session):
     n_src = len(set(out["source_a"]) | set(out["source_b"]))
     assert len(out) == n_src * (n_src - 1) // 2
     assert ((out["jaccard_est"] >= 0) & (out["jaccard_est"] <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (RefinedWeb-style curation op, new in r4)
+# ---------------------------------------------------------------------------
+
+
+PARA_DOCS = [
+    "para A\n\npara B\n\npara C",
+    "para B\n\npara D",          # B dups doc0 → only D survives
+    "para A\n\npara A",          # both paragraphs dup → doc drops out
+    "para E",
+    "para C\n\npara E\n\npara F",  # C, E dup → keeps F
+    None,                          # null text excluded
+]
+
+
+def _para_oracle(docs: pd.DataFrame) -> pd.DataFrame:
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import PARAGRAPH_DEDUP_SQL
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.sql(PARAGRAPH_DEDUP_SQL).df()
+    for c in ("doc_id", "n_paras_in", "n_paras_kept"):
+        exp[c] = exp[c].astype("int64")
+    return exp.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_buckets", [2, 8])
+def test_paragraph_dedup_matches_duckdb(ray_session, num_buckets):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(PARA_DOCS), dtype="int64"), "text": PARA_DOCS}
+    )
+    got = (
+        paragraph_dedup(
+            ray.data.from_pandas(docs), "doc_id", "text", num_buckets=num_buckets
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_paras_in", "n_paras_kept"):
+        got[c] = got[c].astype("int64")
+    exp = _para_oracle(docs)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # doc 2 (all paragraphs duplicated) must vanish entirely
+    assert 2 not in set(got["doc_id"])
+
+
+def test_paragraph_dedup_larger_random_corpus(ray_session):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(13)
+    pool = ["the cat sat", "a dog ran", "rain fell hard", "sun rose early",
+            "wind blew cold", "birds sang loud", "waves hit rocks",
+            "stars shone bright"]
+    texts = [
+        "\n\n".join(rng.choice(pool, size=rng.integers(1, 5)))
+        for _ in range(80)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(80, dtype="int64"), "text": texts}
+    )
+    got = (
+        paragraph_dedup(ray.data.from_pandas(docs), "doc_id", "text", num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_paras_in", "n_paras_kept"):
+        got[c] = got[c].astype("int64")
+    exp = _para_oracle(docs)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # every distinct paragraph survives exactly once across the corpus
+    kept = "\n\n".join(got["text"]).split("\n\n")
+    assert sorted(set(kept)) == sorted(kept)
+    assert set(kept) == set(p for t in texts for p in t.split("\n\n"))

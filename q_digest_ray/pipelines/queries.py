@@ -961,32 +961,32 @@ def brand_revenue(sf_dir: str):
     }
     ref = ray.put(lookup)
 
-    class JoinAgg:
-        def __init__(self):
-            lk = ray.get(ref)
-            self.keys = lk["keys"]
-            self.brand = lk["brand"]
+    # plain-function stage, NOT an actor pool: the only state is the
+    # broadcast ref, and ray.get on a local object is zero-copy shared
+    # memory — an actor pool would add ~1 s spin-up for nothing (measured;
+    # pools are for EXPENSIVE per-actor setup like models/indexes)
+    def join_agg(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.fixedpoint import scaled_int64
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            from q_digest_ray.functions.fixedpoint import scaled_int64
-
-            k = batch["l_partkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, k)
-            # inner-join guard: drop partkeys absent from part (OOB/mis-
-            # attribution hazard, same as order_revenue_by_nation)
-            pos_safe = np.minimum(pos, len(self.keys) - 1)
-            present = self.keys[pos_safe] == k
-            brands = self.brand[pos_safe[present]]
-            p100 = scaled_int64(
-                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[present], 2
-            )
-            d100 = scaled_int64(
-                batch["l_discount"].to_numpy(zero_copy_only=False)[present], 2
-            )
-            df = pd.DataFrame({"p_brand": brands, "rev4": p100 * (100 - d100)})
-            return df.groupby("p_brand", sort=False, as_index=False).agg(
-                s=("rev4", "sum"), c=("rev4", "size")
-            )
+        lk = ray.get(ref)
+        keys, brand = lk["keys"], lk["brand"]
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, k)
+        # inner-join guard: drop partkeys absent from part (OOB/mis-
+        # attribution hazard, same as order_revenue_by_nation)
+        pos_safe = np.minimum(pos, len(keys) - 1)
+        present = keys[pos_safe] == k
+        brands = brand[pos_safe[present]]
+        p100 = scaled_int64(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[present], 2
+        )
+        d100 = scaled_int64(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[present], 2
+        )
+        df = pd.DataFrame({"p_brand": brands, "rev4": p100 * (100 - d100)})
+        return df.groupby("p_brand", sort=False, as_index=False).agg(
+            s=("rev4", "sum"), c=("rev4", "size")
+        )
 
     from q_digest_ray.functions.fixedpoint import exact_sum, round_scaled_half_up
 
@@ -1005,9 +1005,7 @@ def brand_revenue(sf_dir: str):
     ds = read_table(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
     )
-    out = two_phase(
-        ds, JoinAgg, final, batch_size=None, concurrency=pool_limits()
-    ).to_pandas()
+    out = two_phase(ds, join_agg, final, batch_size=None).to_pandas()
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
 
@@ -1036,30 +1034,30 @@ def supplier_region_acctbal(sf_dir: str):
     order_r = np.argsort(rk)
     rpos = np.searchsorted(rk[order_r], nrk)
     region_by_nation = dict(zip(nk.tolist(), rn[order_r][rpos].tolist()))
-    ref = ray.put(region_by_nation)
+    lk_keys = np.array(sorted(region_by_nation), dtype=np.int64)
+    lk_names = np.array(
+        [region_by_nation[k] for k in lk_keys.tolist()], dtype=object
+    )
+    ref = ray.put({"keys": lk_keys, "names": lk_names})
 
-    class Tagger:
-        def __init__(self):
-            m = ray.get(ref)
-            keys = np.array(sorted(m), dtype=np.int64)
-            self.keys = keys
-            self.names = np.array([m[k] for k in keys.tolist()], dtype=object)
+    # plain-function stage (broadcast-lookup state only — see brand_revenue)
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.fixedpoint import scaled_int64
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            from q_digest_ray.functions.fixedpoint import scaled_int64
-
-            snk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, snk)
-            pos_safe = np.minimum(pos, len(self.keys) - 1)
-            ok = self.keys[pos_safe] == snk
-            names = self.names[pos_safe[ok]]
-            bal100 = scaled_int64(
-                batch["s_acctbal"].to_numpy(zero_copy_only=False)[ok], 2
-            )
-            df = pd.DataFrame({"r_name": names, "b": bal100})
-            return df.groupby("r_name", sort=False, as_index=False).agg(
-                s=("b", "sum"), c=("b", "size")
-            )
+        lk = ray.get(ref)
+        keys, names_arr = lk["keys"], lk["names"]
+        snk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, snk)
+        pos_safe = np.minimum(pos, len(keys) - 1)
+        ok = keys[pos_safe] == snk
+        names = names_arr[pos_safe[ok]]
+        bal100 = scaled_int64(
+            batch["s_acctbal"].to_numpy(zero_copy_only=False)[ok], 2
+        )
+        df = pd.DataFrame({"r_name": names, "b": bal100})
+        return df.groupby("r_name", sort=False, as_index=False).agg(
+            s=("b", "sum"), c=("b", "size")
+        )
 
     from q_digest_ray.functions.fixedpoint import exact_sum, round_scaled_half_up
 
@@ -1076,9 +1074,7 @@ def supplier_region_acctbal(sf_dir: str):
         return pd.DataFrame(rows)
 
     ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-    out = two_phase(
-        ds, Tagger, final, batch_size=None, concurrency=pool_limits()
-    ).to_pandas()
+    out = two_phase(ds, tag, final, batch_size=None).to_pandas()
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
 

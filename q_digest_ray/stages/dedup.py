@@ -684,8 +684,15 @@ def minhash_dup_groups_ds(
         batch_format="pyarrow",
     )
     # transitive members: score (doc, root) with doc as the join-a side —
-    # jaccard_verify emits (a, b, jaccard) back, order (doc, root)
-    scored = jaccard_verify(missing, ds, id_col, text_col, w=w, num_buckets=B)
+    # jaccard_verify emits (a, b, jaccard) back, order (doc, root).
+    # GATED on there being any: jaccard_verify streams the CORPUS through
+    # two more bucketed exchanges, which would be pure overhead on the
+    # common all-directly-linked case
+    scored = (
+        jaccard_verify(missing, ds, id_col, text_col, w=w, num_buckets=B)
+        if missing.count() > 0
+        else None
+    )
 
     def finish_matched(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -705,11 +712,11 @@ def minhash_dup_groups_ds(
             }
         )
 
-    out = (
-        members.map_batches(root_rows, batch_format="pyarrow")
-        .union(matched.map_batches(finish_matched, batch_format="pyarrow"))
-        .union(scored.map_batches(finish_scored, batch_format="pyarrow"))
+    out = members.map_batches(root_rows, batch_format="pyarrow").union(
+        matched.map_batches(finish_matched, batch_format="pyarrow")
     )
+    if scored is not None:
+        out = out.union(scored.map_batches(finish_scored, batch_format="pyarrow"))
     if out_path:
         out.write_parquet(out_path)
         return out_path

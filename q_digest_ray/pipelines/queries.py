@@ -1349,6 +1349,41 @@ def curation_funnel(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def embedding_cluster_sizes(sf_dir: str, num_centroids: int = 16):
+    """Cluster-then-summarize over the embedding column (the
+    SemDeDup/cluster-curation shape): coarse k-means centroids trained
+    from a bounded strided sample (stages/ann.train_centroids — the IVF
+    quantizer), broadcast once via ray.put, every vector assigned per
+    batch with one matmul, two-phase per-cluster counts + mean cosine to
+    centroid.  Rows-only (data-dependent centroids, but deterministic:
+    fixed seed + strided sample)."""
+    from q_digest_ray.stages.ann import _matrix, _normalize, train_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    cents = train_centroids(ds, "embedding", num_centroids=num_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)  # zero-copy local get; no actor pool needed
+        m = _normalize(_matrix(batch["embedding"]))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        df = pd.DataFrame({"cluster": a.astype(np.int64), "s": best})
+        return df.groupby("cluster", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+        g["mean_cos_to_centroid"] = (g["s"] / g["n"]).round(4)
+        g["n"] = g["n"].astype("int64")
+        return g[["cluster", "n", "mean_cos_to_centroid"]]
+
+    out = two_phase(ds, assign, final, batch_size=None).to_pandas()
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def langid_counts(sf_dir: str):
     """Predicted language distribution (heuristic language-ID stage)."""
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -2458,6 +2493,7 @@ SKETCH_QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_cluster_sizes": embedding_cluster_sizes,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,
     "curation_funnel": curation_funnel,

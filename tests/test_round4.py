@@ -631,3 +631,23 @@ def test_paragraph_dedup_larger_random_corpus(ray_session):
     kept = "\n\n".join(got["text"]).split("\n\n")
     assert sorted(set(kept)) == sorted(kept)
     assert set(kept) == set(p for t in texts for p in t.split("\n\n"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cluster assignment (SemDeDup-style cluster-curation shape)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_cluster_sizes(ray_session):
+    import pyarrow.parquet as pq2
+
+    from q_digest_ray.pipelines.queries import embedding_cluster_sizes
+
+    sf = "/root/testdata/sf0.001"
+    a = embedding_cluster_sizes(sf, num_centroids=8)
+    b = embedding_cluster_sizes(sf, num_centroids=8)
+    pd.testing.assert_frame_equal(a, b)  # deterministic
+    n_rows = pq2.read_metadata(sf + "/embeddings.parquet").num_rows
+    assert int(a["n"].sum()) == n_rows  # every vector assigned exactly once
+    assert ((a["mean_cos_to_centroid"] > -1) & (a["mean_cos_to_centroid"] <= 1)).all()
+    assert a["cluster"].is_unique

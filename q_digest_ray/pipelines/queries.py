@@ -1090,6 +1090,248 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def promo_revenue_by_month(sf_dir: str):
+    """Conditional aggregate over a broadcast dimension attribute (the
+    TPC-H q14 'promotion effect' shape, grouped by ship month): the part
+    table collapses to a sorted (partkey -> is-promo) bitmask broadcast
+    once via ``ray.put``; lineitem streams through one vectorized
+    searchsorted lookup per batch and contributes BOTH the conditional
+    (promo) and unconditional revenue sums in the same partial.  Exact
+    cents via fixedpoint; the pct is derived from the two already-rounded
+    doubles identically on both sides, so it is bit-exact vs the oracle."""
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk = np.asarray(part["p_partkey"])
+    order = np.argsort(pk)
+    is_promo = (
+        np.array(part["p_type"].to_pylist(), dtype=object)[order] == "PROMO"
+    )
+    ref = ray.put({"keys": pk[order], "is_promo": is_promo})
+
+    def join_agg(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.fixedpoint import scaled_int64
+
+        lk = ray.get(ref)  # zero-copy local get; plain task, no actor pool
+        keys = lk["keys"]
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, k)
+        pos_safe = np.minimum(pos, len(keys) - 1)
+        present = keys[pos_safe] == k  # inner-join guard
+        promo = lk["is_promo"][pos_safe[present]]
+        month = np.asarray(
+            pc.strftime(batch["l_shipdate"], format="%Y-%m").to_numpy(
+                zero_copy_only=False
+            )
+        )[present]
+        p100 = scaled_int64(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[present], 2
+        )
+        d100 = scaled_int64(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[present], 2
+        )
+        rev4 = p100 * (100 - d100)
+        df = pd.DataFrame(
+            {"ship_month": month, "t": rev4, "p": np.where(promo, rev4, 0)}
+        )
+        return df.groupby("ship_month", sort=False, as_index=False).agg(
+            t=("t", "sum"), p=("p", "sum")
+        )
+
+    from q_digest_ray.functions.fixedpoint import (
+        duckdb_round_double,
+        exact_sum,
+        round_scaled_half_up,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m, g in df.groupby("ship_month"):
+            total = round_scaled_half_up(exact_sum(g["t"]), 10**4, 2)
+            promo = round_scaled_half_up(exact_sum(g["p"]), 10**4, 2)
+            rows.append(
+                {
+                    "ship_month": m,
+                    "promo_revenue": promo,
+                    "total_revenue": total,
+                    "promo_pct": duckdb_round_double(100.0 * promo / total, 4),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    out = two_phase(ds, join_agg, final, batch_size=None).to_pandas()
+    return out.sort_values("ship_month").reset_index(drop=True)
+
+
+PROMO_REVENUE_SQL = """
+WITH rev AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ship_month
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+FROM rev ORDER BY ship_month
+"""
+
+
+def repetition_stats(sf_dir: str):
+    """Within-document repetition signal (the Gopher/MassiveText
+    duplicate-token fraction quality gate), aggregated per lang: per doc,
+    distinct tokens vs total tokens; per lang, 1 - sum(distinct)/sum(total)
+    over exact integer sums (no float accumulation anywhere, so the ratio
+    is order-independent and bit-exact vs the oracle).
+
+    Fully vectorized per batch: one RE2 split (the SAME '\\s+' pattern the
+    DuckDB oracle uses), two Arrow group_bys — (doc, token) counts, then
+    per-doc distinct/total — then a per-lang partial.  Nothing larger than
+    langs x 4 rows per block leaves the batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tok)
+        t = pa.table({"d": pa.array(d), "token": toks.flatten()})
+        t = t.filter(pc.not_equal(t["token"], pa.scalar("")))
+        # (doc, token) multiplicity -> per-doc total + distinct in one more
+        # group_by; docs whose every token was filtered drop out, exactly
+        # like SQL's per-doc GROUP BY over zero unnested rows
+        g = t.group_by(["d", "token"]).aggregate([("token", "count")])
+        per_doc = g.group_by("d").aggregate(
+            [("token_count", "sum"), ("token", "count")]
+        )
+        di = per_doc["d"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False)[di],
+                "total": per_doc["token_count_sum"].to_numpy(zero_copy_only=False),
+                "dist": per_doc["token_count"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby("lang", sort=False, as_index=False).agg(
+            total=("total", "sum"), dist=("dist", "sum"), n_docs=("dist", "size")
+        )
+        return out
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            total, dist = exact_sum(g["total"]), exact_sum(g["dist"])
+            rows.append(
+                {
+                    "lang": lang,
+                    "total_tokens": total,
+                    "distinct_tokens": dist,
+                    "dup_token_frac": duckdb_round_double(1.0 - dist / total, 6),
+                    "n_docs": exact_sum(g["n_docs"]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = two_phase(ds, partial, final).to_pandas()
+    for c in ("total_tokens", "distinct_tokens", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, t.token AS token
+  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       unnest(ts) AS t(token)
+  WHERE t.token <> ''
+), per_doc AS (
+  SELECT doc_id, any_value(lang) AS lang, count(*) AS total,
+         count(DISTINCT token) AS dist
+  FROM toks GROUP BY doc_id
+)
+SELECT lang,
+       CAST(sum(total) AS BIGINT) AS total_tokens,
+       CAST(sum(dist) AS BIGINT) AS distinct_tokens,
+       round(1.0 - CAST(sum(dist) AS DOUBLE) / CAST(sum(total) AS DOUBLE), 6)
+         AS dup_token_frac,
+       count(*) AS n_docs
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def cumulative_spend(sf_dir: str, num_buckets: int | None = None):
+    """Ordered window function (running total): per customer, orders
+    sorted by (o_orderdate, o_orderkey) with row_number and cumulative
+    spend — the PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING
+    shape.  Customers are co-located via coarse hash buckets (the
+    sessionize pattern: B size-derived ray-level groups, not one per
+    customer); within a bucket the whole window computation is one
+    vectorized sort + segmented cumsum.  Exact cents via fixedpoint."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    B = num_buckets or derive_buckets(ds)
+
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(batch["o_custkey"], pa.scalar(B - 1, pa.int64()))
+        batch = batch.append_column("bucket", pc.cast(b, pa.int32()))
+        v100 = scaled_int64(batch["o_totalprice"].to_numpy(zero_copy_only=False), 2)
+        return batch.append_column("v100", pa.array(v100))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cum = g.groupby("o_custkey", sort=False)["v100"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"],
+                "o_orderkey": g["o_orderkey"],
+                "o_orderdate": pd.to_datetime(g["o_orderdate"]).dt.strftime(
+                    "%Y-%m-%d"
+                ),
+                "order_rank": g.groupby("o_custkey", sort=False).cumcount() + 1,
+                "cum_spend": cum / 100.0,  # exact 2-dec cents
+            }
+        )
+
+    df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    df["order_rank"] = df["order_rank"].astype("int64")
+    return df.sort_values(["o_custkey", "order_rank"]).reset_index(drop=True)
+
+
+CUMULATIVE_SPEND_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(row_number() OVER w AS BIGINT) AS order_rank,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+         AS cum_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY o_custkey, order_rank
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -2473,6 +2715,9 @@ EXACT_QUERIES = {
     "brand_revenue": (brand_revenue, BRAND_REVENUE_SQL),
     "paragraph_dedup_docs": (paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL),
     "supplier_region_acctbal": (supplier_region_acctbal, SUPPLIER_REGION_ACCTBAL_SQL),
+    "promo_revenue_by_month": (promo_revenue_by_month, PROMO_REVENUE_SQL),
+    "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
+    "cumulative_spend": (cumulative_spend, CUMULATIVE_SPEND_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),

@@ -651,3 +651,134 @@ def test_embedding_cluster_sizes(ray_session):
     assert int(a["n"].sum()) == n_rows  # every vector assigned exactly once
     assert ((a["mean_cos_to_centroid"] > -1) & (a["mean_cos_to_centroid"] <= 1)).all()
     assert a["cluster"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 2: conditional aggregate (q14 shape), repetition signal,
+# ordered window cumulative sum
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_crafted_corpus(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import REPETITION_STATS_SQL, repetition_stats
+
+    texts = [
+        "a a a b",            # 4 tokens, 2 distinct
+        "x y z",              # 3 tokens, 3 distinct
+        "w w w",         # U+00A0 is NOT a separator: 2 tokens, 2 distinct
+        None,                 # drops out on both sides
+        "",                   # empty-token-only doc drops out on both sides
+        "Q q",                # case-folds to one distinct
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "lang": pa.array(["en", "en", "de", "en", "de", "en"]),
+            "text": pa.array(texts),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = repetition_stats(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(REPETITION_STATS_SQL).df()
+    for c in ("total_tokens", "distinct_tokens", "n_docs"):
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    en = got[got["lang"] == "en"].iloc[0]
+    assert en["total_tokens"] == 9 and en["distinct_tokens"] == 6  # a,b + x,y,z + q
+    assert en["n_docs"] == 3
+
+
+def test_cumulative_spend_window_semantics(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import CUMULATIVE_SPEND_SQL, cumulative_spend
+
+    # two customers; same-date ties broken by o_orderkey; exact cents
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([5, 1, 3, 2, 4], type=pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 9, 9], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5),
+            "o_totalprice": pa.array([10.05, 1.10, 2.20, 100.00, 0.01]),
+            "o_orderdate": pa.array(
+                pd.to_datetime(
+                    ["2001-01-02", "2001-01-02", "2001-01-01", "2000-06-01", "2000-06-02"]
+                )
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    got = cumulative_spend(str(d), num_buckets=4)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = con.sql(CUMULATIVE_SPEND_SQL).df()
+    exp["o_orderkey"] = exp["o_orderkey"].astype("int64")
+    exp["o_custkey"] = exp["o_custkey"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    # customer 7: date 01-01 first, then the 01-02 tie resolved key 1 < 5
+    c7 = got[got["o_custkey"] == 7]
+    assert list(c7["o_orderkey"]) == [3, 1, 5]
+    assert list(c7["cum_spend"]) == [2.20, 3.30, 13.35]
+    # bucket-count invariance
+    got2 = cumulative_spend(str(d), num_buckets=2)
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_promo_revenue_inner_join_guard(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import PROMO_REVENUE_SQL, promo_revenue_by_month
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], type=pa.int64()),
+            "p_name": pa.array(["n1", "n2"]),
+            "p_brand": pa.array(["B1", "B2"]),
+            "p_type": pa.array(["PROMO", "STANDARD"]),
+            "p_size": pa.array([1, 2], type=pa.int64()),
+            "p_retailprice": pa.array([1.0, 2.0]),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "l_partkey": pa.array([1, 2, 99, 1], type=pa.int64()),  # 99 absent
+            "l_extendedprice": pa.array([100.00, 50.00, 10.00, 20.00]),
+            "l_discount": pa.array([0.10, 0.00, 0.00, 0.05]),
+            "l_shipdate": pa.array(
+                pd.to_datetime(["2000-01-05", "2000-01-20", "2000-01-21", "2000-02-01"])
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(part, str(d / "part.parquet"))
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    got = promo_revenue_by_month(str(d))
+    con = duckdb.connect()
+    for name in ("part", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{d}/{name}.parquet')"
+        )
+    exp = con.sql(PROMO_REVENUE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    # partkey 99 contributed nothing; Jan promo share = 90/140
+    jan = got[got["ship_month"] == "2000-01"].iloc[0]
+    assert jan["total_revenue"] == 140.0 and jan["promo_revenue"] == 90.0

@@ -67,6 +67,10 @@ QUERY_NAMES = [
     "brand_revenue",
     "supplier_region_acctbal",
     "paragraph_dedup_docs",
+    "promo_revenue_by_month",
+    "repetition_stats",
+    "cumulative_spend",
+    "embedding_cluster_sizes",
 ]
 
 

@@ -71,6 +71,10 @@ QUERY_NAMES = [
     "repetition_stats",
     "cumulative_spend",
     "embedding_cluster_sizes",
+    "props_value_by_type",
+    "normalized_dedup_by_source",
+    "top_bigrams",
+    "stratified_sample",
 ]
 
 

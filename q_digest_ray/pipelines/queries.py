@@ -1332,6 +1332,291 @@ ORDER BY o_custkey, order_rank
 """
 
 
+def props_value_by_type(sf_dir: str):
+    """Semi-structured (JSON) field extraction — the log-enrichment shape:
+    pull ``k`` out of the events ``props`` JSON column and aggregate it per
+    event_type, all without a JSON parser in the hot path.
+
+    Extraction is one vectorized RE2 ``extract_regex`` per batch (the SAME
+    pattern + engine as the oracle's ``regexp_extract``, so missing/NULL
+    props agree on both sides); sums are exact Python ints; avg derives
+    from the two exact sums so it is order-independent."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        kn = k.to_numpy(zero_copy_only=False)  # float64 w/ NaN where null
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": np.nan_to_num(kn).astype(np.int64),
+                "has_k": ~np.isnan(kn),
+            }
+        )
+        return df.groupby("event_type", sort=False, as_index=False).agg(
+            n_events=("k", "size"), n_with_k=("has_k", "sum"), sum_k=("k", "sum")
+        )
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            n, nk = exact_sum(g["n_events"]), exact_sum(g["n_with_k"])
+            s = exact_sum(g["sum_k"])
+            rows.append(
+                {
+                    "event_type": et,
+                    "n_events": n,
+                    "n_with_k": nk,
+                    "sum_k": s,
+                    "avg_k": duckdb_round_double(s / nk, 6) if nk else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = two_phase(ds, partial, final).to_pandas()
+    for c in ("n_events", "n_with_k", "sum_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_VALUE_BY_TYPE_SQL = r"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CASE WHEN count(k) = 0 THEN NULL
+            ELSE round(CAST(sum(k) AS DOUBLE) / count(k), 6) END AS avg_k
+FROM (SELECT event_type,
+             CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def normalized_dedup_by_source(sf_dir: str, num_buckets: int | None = None):
+    """Normalization-aware dedup rate (the near-exact-dup census run before
+    any fuzzy pass): per source, docs vs distinct texts AFTER lowercasing
+    and collapsing whitespace runs — the canonical text-normalization key.
+
+    Per batch: one RE2 normalize (same pattern + engine as the oracle) →
+    128-bit content keys → distinct (source, key) rows with their in-batch
+    multiplicity, hash-bucketed BY KEY so equal texts co-locate.  Each
+    bucket counts docs and distinct keys per source; exact sums are safe
+    because each key lives in exactly one bucket.  Shuffle volume is ~28 B
+    per distinct (source, text) per batch — normalized texts never ship."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from q_digest_ray.functions.hashing import content_key128
+
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"\s+", " "
+        )
+        h1, h2, bucket = content_key128(norm, B)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "h": pa.array(h1),
+                "h2": pa.array(h2),
+                "bucket": pa.array(bucket),
+            }
+        )
+        return t.group_by(["source", "h", "h2", "bucket"]).aggregate(
+            [("h", "count")]
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["source", "h", "h2"], as_index=False, sort=False).agg(
+            n=("h_count", "sum")
+        )
+        return s.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_distinct_norm=("n", "size")
+        )
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_distinct_norm=("n_distinct_norm", "sum")
+    )
+    out["dup_frac"] = [
+        duckdb_round_double(1.0 - d / n, 6)
+        for d, n in zip(out["n_distinct_norm"], out["n_docs"])
+    ]
+    for c in ("n_docs", "n_distinct_norm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+NORMALIZED_DEDUP_SQL = r"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))
+         AS n_distinct_norm,
+       round(1.0 - CAST(count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))
+                        AS DOUBLE) / count(*), 6) AS dup_frac
+FROM documents WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+def top_bigrams(sf_dir: str, k: int = 20, num_buckets: int | None = None):
+    """N-gram counting (the LM-corpus bigram census): global top-k
+    adjacent-token pairs by exact count.
+
+    Per batch: one RE2 edge-trim + split (same patterns as the oracle),
+    bigrams formed on the FLAT token array with a doc-boundary mask (no
+    per-doc loop), Arrow group_by for in-batch counts → hash-bucket BY
+    BIGRAM so each pair's global total lands in one bucket → per-bucket
+    exact sums + bucket-local top-k → final re-rank of B x k candidate
+    rows.  A global top-k bigram's full count lives in exactly one bucket,
+    so candidate pruning is lossless; the pair vocabulary never aggregates
+    in one task."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        trimmed = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+        )
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        # pair (i, i+1) is valid unless i+1 starts a new doc's token list
+        valid = np.ones(n - 1, dtype=bool)
+        starts = np.asarray(toks.offsets)[1:-1]  # where lists 1.. begin
+        starts = starts[(starts >= 1) & (starts <= n - 1)]
+        valid[starts - 1] = False
+        left, right = flat.slice(0, n - 1), flat.slice(1, n - 1)
+        # empty tokens can only come from empty docs ('' -> ['']) after the
+        # edge trim; still excluded explicitly to match the oracle's filter
+        valid &= np.asarray(pc.not_equal(left, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        ))
+        valid &= np.asarray(pc.not_equal(right, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        ))
+        mask = pa.array(valid)
+        bigram = pc.binary_join_element_wise(
+            left.filter(mask), right.filter(mask), " "
+        )
+        g = pa.table({"bigram": bigram}).group_by("bigram").aggregate(
+            [("bigram", "count")]
+        )
+        bucket = (hash64(g["bigram"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "bigram": g["bigram"],
+                "cnt": g["bigram_count"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bigram", as_index=False, sort=False).agg(cnt=("cnt", "sum"))
+        return s.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # <= B x k tiny candidate rows
+    )
+    out = cand.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)
+    out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["rn", "bigram", "cnt"]]
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH d AS (
+  SELECT string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT s[i] || ' ' || s[i+1] AS bigram
+  FROM d, unnest(generate_series(1, len(s)-1)) AS t(i)
+  WHERE s[i] <> '' AND s[i+1] <> ''
+)
+SELECT rn, bigram, cnt FROM (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+  FROM pairs GROUP BY bigram
+) WHERE rn <= 20 ORDER BY rn
+"""
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 10):
+    """Deterministic stratified sampling (the eval-set / inspection-set
+    draw): n docs per lang under a seedable pseudo-random order that is
+    reproducible on ANY partitioning — the sample key is a pure function
+    of doc_id, so Ray and SQL rank identically with no RNG state.
+
+    The key ((doc_id % 1000003) * 2654435761) % 1000000007 (Knuth
+    multiplicative hash over two primes) keeps every intermediate below
+    2^52, so int64 arithmetic is exact on both sides at any doc_id scale.
+    Per-batch per-lang top-n candidates (vectorized sort) → final re-rank
+    of #blocks x langs x n rows; row shuffle volume is candidates only."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = ((did % 1000003) * 2654435761) % 1000000007
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "doc_id": did,
+                "skey": key,
+            }
+        )
+        df = df.sort_values(["lang", "skey", "doc_id"])
+        return df.groupby("lang", sort=False).head(n_per_group)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "skey", "doc_id"])
+        out = df.groupby("lang", sort=False).head(n_per_group).copy()
+        out["rn"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out[["lang", "rn", "doc_id"]]
+
+    out = two_phase(ds, partial, final).to_pandas()
+    for c in ("rn", "doc_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "rn"]).reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10 ORDER BY lang, rn
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -2718,6 +3003,10 @@ EXACT_QUERIES = {
     "promo_revenue_by_month": (promo_revenue_by_month, PROMO_REVENUE_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "cumulative_spend": (cumulative_spend, CUMULATIVE_SPEND_SQL),
+    "props_value_by_type": (props_value_by_type, PROPS_VALUE_BY_TYPE_SQL),
+    "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
+    "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),

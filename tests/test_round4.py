@@ -782,3 +782,165 @@ def test_promo_revenue_inner_join_guard(ray_session, tmp_path):
     # partkey 99 contributed nothing; Jan promo share = 90/140
     jan = got[got["ship_month"] == "2000-01"].iloc[0]
     assert jan["total_revenue"] == 140.0 and jan["promo_revenue"] == 90.0
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction / normalization dedup / bigrams / stratified sample
+# ---------------------------------------------------------------------------
+
+
+def test_props_value_by_type_missing_keys(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import (
+        PROPS_VALUE_BY_TYPE_SQL,
+        props_value_by_type,
+    )
+
+    ev = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "props": pa.array(
+                [
+                    '{"k": 5}',
+                    '{"k": 10}',
+                    '{"other": 1}',  # no k -> excluded from sum/avg
+                    '{"k":7}',  # no space after colon still matches \s*
+                    None,  # NULL props
+                    '{"x": 2}',  # type with zero k values -> avg NULL
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    got = props_value_by_type(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = con.sql(PROPS_VALUE_BY_TYPE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    a = got[got["event_type"] == "a"].iloc[0]
+    assert a["n_events"] == 3 and a["n_with_k"] == 2 and a["sum_k"] == 15
+    assert got[got["event_type"] == "c"]["avg_k"].isna().all()
+
+
+def test_normalized_dedup_collapses_case_and_whitespace(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import (
+        NORMALIZED_DEDUP_SQL,
+        normalized_dedup_by_source,
+    )
+
+    docs = pa.table(
+        {
+            "source": pa.array(["s1"] * 4 + ["s2"] * 3),
+            "text": pa.array(
+                [
+                    "Hello  World",
+                    "hello world",  # dup of above after normalize
+                    "hello\tworld",  # tab run also collapses -> dup
+                    "distinct one",
+                    "Foo",
+                    None,  # excluded on both sides
+                    "foo",  # dup of "Foo"
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = normalized_dedup_by_source(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(NORMALIZED_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    s1 = got[got["source"] == "s1"].iloc[0]
+    assert s1["n_docs"] == 4 and s1["n_distinct_norm"] == 2
+    s2 = got[got["source"] == "s2"].iloc[0]
+    assert s2["n_docs"] == 2 and s2["n_distinct_norm"] == 1
+    # bucket-count invariance
+    pd.testing.assert_frame_equal(got, normalized_dedup_by_source(str(d), num_buckets=2))
+
+
+def test_top_bigrams_doc_boundaries_and_trim(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import TOP_BIGRAMS_SQL, top_bigrams
+
+    docs = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "  the cat sat  ",  # edge whitespace must not make '' tokens
+                    "the cat ran",
+                    "cat THE cat",  # lowercased: contributes 'cat the', 'the cat'
+                    "solo",  # single token -> no pairs
+                    "",  # empty doc -> no pairs
+                    None,  # null doc
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = top_bigrams(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(TOP_BIGRAMS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # 'the cat' appears 3x; crucially "sat" (doc 1 end) + "the" (doc 2 start)
+    # must NOT form a cross-document bigram
+    assert got.iloc[0]["bigram"] == "the cat" and got.iloc[0]["cnt"] == 3
+    assert "sat the" not in set(got["bigram"])
+    # bucket-count invariance
+    pd.testing.assert_frame_equal(got, top_bigrams(str(d), num_buckets=2))
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(
+    ray_session, tmp_path
+):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import STRATIFIED_SAMPLE_SQL, stratified_sample
+
+    rng = np.random.default_rng(7)
+    n = 500
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array([f"l{i}" for i in rng.integers(0, 3, n)]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = stratified_sample(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(STRATIFIED_SAMPLE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    assert (got.groupby("lang").size() == 10).all()
+    # rewriting the table as many small row groups (different block layout)
+    # must yield the identical sample: the key is a pure function of doc_id
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(docs, str(d2 / "documents.parquet"), row_group_size=37)
+    pd.testing.assert_frame_equal(got, stratified_sample(str(d2)))

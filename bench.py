@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "normalized_dedup_by_source",
     "top_bigrams",
     "stratified_sample",
+    "value_band_join",
 ]
 
 

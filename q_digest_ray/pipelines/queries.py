@@ -1617,6 +1617,66 @@ SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
 """
 
 
+def value_band_join(sf_dir: str, band_cents: int = 100, coarse: int = 64):
+    """RANGE (band) join through the catalog: for each purchase event, how
+    many view events have a value within ±1.00 of it — the
+    ``|l.value - r.value| <= delta`` non-equi join (stages/join.py
+    ``band_count_join``: contiguous value-range buckets + boundary
+    replication; per bucket one sort + two searchsorteds, pairs never
+    materialize).
+
+    Both sides compare in exact integer CENTS (scaled_int64 vs the
+    oracle's round(value*100)): a float band predicate computed as
+    ``abs(a-b) <= d`` vs ``a >= b-d`` can disagree by one ulp at the
+    boundary, integers cannot."""
+    from q_digest_ray.functions.fixedpoint import scaled_int64
+    from q_digest_ray.stages.join import band_count_join
+
+    def prep(event_type: str, keep_id: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.equal(batch["event_type"], pa.scalar(event_type))
+            )
+            c = scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
+            cols = {"c": pa.array(c)}
+            if keep_id:
+                cols = {"event_id": batch["event_id"], **cols}
+            return pa.table(cols)
+
+        return fn
+
+    base_cols = ["event_id", "event_type", "value"]
+    left = read_table(sf_dir, "events", columns=base_cols).map_batches(
+        prep("purchase", True), batch_format="pyarrow"
+    )
+    right = read_table(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+        prep("view", False), batch_format="pyarrow"
+    )
+    out = band_count_join(
+        left,
+        right,
+        on="c",
+        band=band_cents,
+        id_col="event_id",
+        coarse=coarse,
+        count_col="n_close_views",
+    ).to_pandas()
+    for c in ("event_id", "n_close_views"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+VALUE_BAND_JOIN_SQL = """
+WITH l AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+           FROM events WHERE event_type = 'view')
+SELECT l.event_id, count(r.c) AS n_close_views
+FROM l LEFT JOIN r ON abs(l.c - r.c) <= 100
+GROUP BY l.event_id ORDER BY l.event_id
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -3007,6 +3067,7 @@ EXACT_QUERIES = {
     "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),

@@ -12,6 +12,9 @@ Two implementations with identical semantics:
   memory knob: each bucket's two sides must fit one task; salt hot keys by
   raising B.
 
+``band_count_join`` adds the non-equi RANGE join (|l.key - r.key| <= band)
+via contiguous value-range buckets with boundary replication.
+
 Broadcast (small-side) and as-of joins live in pipelines/queries.py.
 """
 
@@ -125,3 +128,93 @@ def bucketed_join(
         return joined
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def band_count_join(
+    left,
+    right,
+    on: str,
+    band: int,
+    id_col: str,
+    coarse: int = 64,
+    count_col: str = "n_matches",
+):
+    """RANGE (band) join, counting form: for each left row, how many right
+    rows have an integer ``on`` key within ±``band`` (inclusive) — the
+    ``|l.key - r.key| <= delta`` non-equi join the Dataset API cannot
+    express.  ``left`` needs columns [``id_col``, ``on``]; ``right`` needs
+    [``on``]; returns a Dataset of (id_col, count_col).
+
+    Contiguous value-range buckets of width ``coarse * band`` co-locate
+    candidates: a left row lands only in its own bucket; a right row
+    additionally replicates into a neighbor bucket when it lies within
+    ``band`` of that boundary (at most 2/coarse of right rows), so every
+    in-band pair meets in EXACTLY one bucket and each match counts once.
+    Per bucket the answer is one sort + two searchsorted calls over the
+    bucket's right keys — candidate pairs never materialize anywhere.
+
+    Partitioning assumption: row mass is roughly balanced across key
+    ranges of width coarse*band.  A single-value pileup concentrates in
+    one bucket (the usual range-partitioner caveat); raise ``coarse`` or
+    pre-aggregate duplicate keys if a bucket outgrows one task.
+    """
+    if band < 1:
+        raise ValueError("band must be a positive integer")
+    if coarse < 2:
+        raise ValueError("coarse must be >= 2 (bucket width must exceed band)")
+    W = coarse * band
+    ls = left.schema()
+    id_type = dict(zip(ls.names, ls.types))[id_col]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__bucket": pa.array(k // W),
+                "__side": pa.array(np.zeros(len(k), np.int8)),
+                "__id": batch[id_col],
+                "__k": pa.array(k),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = k // W
+        down = k < b * W + band  # within band of the lower boundary
+        up = k >= (b + 1) * W - band  # within band of the upper boundary
+        bb = np.concatenate([b, b[down] - 1, b[up] + 1])
+        kk = np.concatenate([k, k[down], k[up]])
+        n = len(kk)
+        return pa.table(
+            {
+                "__bucket": pa.array(bb),
+                "__side": pa.array(np.ones(n, np.int8)),
+                "__id": pa.nulls(n, id_type),
+                "__k": pa.array(kk),
+            }
+        )
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        lf = g.filter(lmask)
+        lk = lf["__k"].to_numpy(zero_copy_only=False)
+        rk = np.sort(
+            g.filter(pc.invert(lmask))["__k"].to_numpy(zero_copy_only=False)
+        )
+        hi = np.searchsorted(rk, lk + band, side="right")
+        lo = np.searchsorted(rk, lk - band, side="left")
+        return pa.table(
+            {
+                id_col: lf["__id"],
+                count_col: pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return (
+        lt.union(rt).groupby("__bucket").map_groups(count_bucket, batch_format="pyarrow")
+    )

@@ -944,3 +944,107 @@ def test_stratified_sample_deterministic_and_partition_invariant(
     d2.mkdir()
     pq.write_table(docs, str(d2 / "documents.parquet"), row_group_size=37)
     pd.testing.assert_frame_equal(got, stratified_sample(str(d2)))
+
+
+def test_band_count_join_boundaries_and_replication(ray_session):
+    import ray as _ray
+
+    from q_digest_ray.stages.join import band_count_join
+
+    # coarse=2, band=10 -> bucket width 20; keys straddle bucket boundaries
+    left = _ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "k": pa.array([0, 19, 40, 100], pa.int64()),
+            }
+        )
+    )
+    right = _ray.data.from_arrow(
+        pa.table(
+            {
+                # 10: exactly +band of id1 (inclusive); 29: exactly +10 of
+                # 19, in bucket 1 while id2 is in bucket 0 (replication
+                # down); 9,9: duplicate keys, both within 10 of ids 1 and 2;
+                # 30: +11 from 19 -> excluded; 50: exactly +10 of 40
+                "k": pa.array([10, 29, 9, 9, 30, 50], pa.int64()),
+            }
+        )
+    )
+    out = (
+        band_count_join(left, right, on="k", band=10, id_col="id", coarse=2)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    lk = {1: 0, 2: 19, 3: 40, 4: 100}
+    rk = [10, 29, 9, 9, 30, 50]
+    expect = {i: sum(abs(v - k) <= 10 for v in rk) for i, k in lk.items()}
+    assert dict(zip(out["id"], out["n_matches"])) == expect
+    assert expect[4] == 0  # zero-match left rows still appear
+    # coarse is a partitioning knob, not a semantic one
+    out64 = (
+        band_count_join(left, right, on="k", band=10, id_col="id", coarse=64)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out64)
+
+
+def test_band_count_join_randomized_vs_bruteforce(ray_session):
+    import ray as _ray
+
+    from q_digest_ray.stages.join import band_count_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(-500, 500, 300)
+    rk = rng.integers(-500, 500, 400)
+    left = _ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(300, dtype=np.int64)),
+                "k": pa.array(lk.astype(np.int64)),
+            }
+        )
+    )
+    right = _ray.data.from_arrow(pa.table({"k": pa.array(rk.astype(np.int64))}))
+    for band, coarse in ((7, 3), (25, 64)):
+        out = (
+            band_count_join(left, right, on="k", band=band, id_col="id", coarse=coarse)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        brute = (np.abs(rk[None, :] - lk[:, None]) <= band).sum(axis=1)
+        assert out["n_matches"].to_numpy().tolist() == brute.tolist()
+
+
+def test_value_band_join_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import VALUE_BAND_JOIN_SQL, value_band_join
+
+    rng = np.random.default_rng(3)
+    n = 600
+    ev = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(
+                [["purchase", "view", "click"][i] for i in rng.integers(0, 3, n)]
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 30, n), 2)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    got = value_band_join(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = con.sql(VALUE_BAND_JOIN_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    assert got["n_close_views"].sum() > 0

@@ -1677,6 +1677,110 @@ GROUP BY l.event_id ORDER BY l.event_id
 """
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3, num_buckets: int | None = None):
+    """Distributed TF-IDF (the IR / corpus-relevance operator): top-k
+    terms per document by tf * ln(N/df), where df is the token's distinct
+    document count and N is the documents row count (a metadata-cheap
+    count; docs with no tokens simply score none).
+
+    The canonical two-exchange shape: per-batch (doc, token, tf) triples
+    (one RE2 split + Arrow group_by) → hash-bucket BY TOKEN so each
+    token's global df computes exactly in one bucket, scoring every triple
+    there → re-bucket BY DOC so each document's candidates reunite for the
+    top-k (a doc's best terms can come from any token bucket, so no
+    earlier prune is lossless).  Shuffle volume is the distinct doc-token
+    pair set, twice — the irreducible cost of exact tf-idf; texts and the
+    vocabulary never pass through one task."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_tok)
+        t = pa.table({"doc_id": pa.array(did), "token": toks.flatten()})
+        t = t.filter(pc.not_equal(t["token"], pa.scalar("")))
+        g = t.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        bucket = (hash64(g["token"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": g["token_count"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # each token lives wholly in this bucket: df = its row count here
+        df_per_token = g.groupby("token", sort=False)["doc_id"].transform("size")
+        score = g["tf"].to_numpy() * np.log(n_docs / df_per_token.to_numpy())
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "score": score,
+                # re-bucket BY DOC for the per-doc top-k
+                "bucket2": (
+                    hash64(g["doc_id"].to_numpy()) % np.uint64(B)
+                ).astype(np.int32),
+            }
+        )
+        # bucket-local prune: keep each doc's k best here (lossless — the
+        # final per-doc top-k only needs each bucket's best k per doc)
+        out = out.sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+        return out.groupby("doc_id", sort=False).head(k)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+        out = g.groupby("doc_id", sort=False).head(k).copy()
+        out["rn"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        return out[["doc_id", "rn", "token", "score"]]
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    res = (
+        ds.map_batches(to_triples, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(topk_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    res["score"] = [duckdb_round_double(s, 6) for s in res["score"]]
+    for c in ("doc_id", "rn"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH triples AS (
+  SELECT doc_id, t.token AS token, count(*) AS tf
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL),
+       unnest(ts) AS t(token)
+  WHERE t.token <> ''
+  GROUP BY doc_id, t.token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT token, count(*) AS df FROM triples GROUP BY token),
+scored AS (
+  SELECT triples.doc_id, triples.token,
+         triples.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM triples, n JOIN df ON triples.token = df.token
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, token, round(score, 6) AS score
+FROM (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -3068,6 +3172,7 @@ EXACT_QUERIES = {
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),

@@ -1048,3 +1048,44 @@ def test_value_band_join_matches_duckdb(ray_session, tmp_path):
         got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
     assert got["n_close_views"].sum() > 0
+
+
+def test_tfidf_top_terms_known_corpus(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import TFIDF_TOP_TERMS_SQL, tfidf_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple apple banana common",
+                    "banana common common",
+                    "cherry common",
+                    None,  # null doc still counts toward N, scores nothing
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = tfidf_top_terms(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(TFIDF_TOP_TERMS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # doc 1: 'apple' df=1 tf=2 -> 2*ln(4) dominates; 'common' df=3 scores least
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["token"]) == ["apple", "banana", "common"]
+    assert abs(d1.iloc[0]["score"] - 2 * np.log(4.0)) < 1e-6
+    # doc 3: 'cherry' df=1 beats 'common'
+    assert got[got["doc_id"] == 3].iloc[0]["token"] == "cherry"
+    assert 4 not in set(got["doc_id"])
+    # bucket invariance (df and per-doc top-k both survive re-bucketing)
+    pd.testing.assert_frame_equal(got, tfidf_top_terms(str(d), num_buckets=2))

@@ -76,6 +76,10 @@ QUERY_NAMES = [
     "top_bigrams",
     "stratified_sample",
     "value_band_join",
+    "tfidf_top_terms",
+    "scrub_stats",
+    "rollup_revenue",
+    "sk_window_rollup",
 ]
 
 

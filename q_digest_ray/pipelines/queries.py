@@ -1781,6 +1781,177 @@ FROM (
 """
 
 
+# Standalone function-word tokens: the scrub pattern is benign in this
+# synthetic corpus, but the operator IS the PII-redaction shape (emails,
+# phone numbers, SSNs at scale swap in here verbatim — RE2 on both sides)
+_SCRUB_PATTERN = r"\b(?:a|the)\b"
+
+
+def scrub_stats(sf_dir: str):
+    """Corpus scrubbing (the PII-redaction operator shape): replace every
+    standalone match of a pattern with a marker, vectorized, and report the
+    per-lang redaction funnel — docs touched, matches removed, exact
+    char-volume before/after, and the shrink fraction.
+
+    One streaming pass, no shuffle: per batch, ONE RE2 ``count_substring_regex``
+    + ONE ``replace_substring_regex`` (the SAME pattern + regex engine the
+    DuckDB oracle uses, so match boundaries agree byte-for-byte), reduced to
+    langs×5 partial rows; final combine sums exact Python ints.  At 100 TB
+    the scrubbed text would flow straight to a partitioned sink — the stats
+    here are the same partials that pass would emit for free."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        n_match = pc.count_substring_regex(batch["text"], _SCRUB_PATTERN)
+        before = pc.utf8_length(batch["text"])
+        after = pc.utf8_length(
+            pc.replace_substring_regex(batch["text"], _SCRUB_PATTERN, "<SCRUB>")
+        )
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "matches": n_match.to_numpy(zero_copy_only=False),
+                "before": before.to_numpy(zero_copy_only=False),
+                "after": after.to_numpy(zero_copy_only=False),
+            }
+        )
+        df["touched"] = (df["matches"] > 0).astype(np.int64)
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("matches", "size"),
+            n_docs_scrubbed=("touched", "sum"),
+            n_redactions=("matches", "sum"),
+            chars_before=("before", "sum"),
+            chars_after=("after", "sum"),
+        )
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            before, after = exact_sum(g["chars_before"]), exact_sum(g["chars_after"])
+            rows.append(
+                {
+                    "lang": lang,
+                    "n_docs": exact_sum(g["n_docs"]),
+                    "n_docs_scrubbed": exact_sum(g["n_docs_scrubbed"]),
+                    "n_redactions": exact_sum(g["n_redactions"]),
+                    "chars_before": before,
+                    "chars_after": after,
+                    "shrink_frac": duckdb_round_double(1.0 - after / before, 6),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = two_phase(ds, partial, final).to_pandas()
+    for c in ("n_docs", "n_docs_scrubbed", "n_redactions", "chars_before", "chars_after"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SCRUB_STATS_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '\b(?:a|the)\b')) AS matches,
+         length(text) AS before_len,
+         length(regexp_replace(text, '\b(?:a|the)\b', '<SCRUB>', 'g')) AS after_len
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (matches > 0) AS BIGINT) AS n_docs_scrubbed,
+       CAST(sum(matches) AS BIGINT) AS n_redactions,
+       CAST(sum(before_len) AS BIGINT) AS chars_before,
+       CAST(sum(after_len) AS BIGINT) AS chars_after,
+       round(1.0 - CAST(sum(after_len) AS DOUBLE) / CAST(sum(before_len) AS DOUBLE), 6)
+         AS shrink_frac
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def rollup_revenue(sf_dir: str):
+    """Multi-level aggregation (GROUP BY ROLLUP): order count + exact
+    revenue at (priority, year), (priority) and grand-total levels, with a
+    ``grouping_id`` bitmask disambiguating rolled-up NULLs from data NULLs
+    — the OLAP cube/report shape.
+
+    The scale insight: ONE two-phase pass computes only the FINEST cells
+    (priorities × years — bounded, tiny); every coarser level is derived by
+    re-aggregating those cells in the final combine, so the rollup costs no
+    second scan and no extra shuffle at any input size.  Sums stay exact
+    end-to-end (int64 cents per batch → arbitrary-precision Python ints →
+    half-away-from-zero rounding), matching DuckDB's DECIMAL arithmetic."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    from q_digest_ray.functions.fixedpoint import (
+        exact_sum,
+        round_scaled_half_up,
+        scaled_int64,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = scaled_int64(batch["o_totalprice"].to_numpy(zero_copy_only=False), 2)
+        df = pd.DataFrame(
+            {
+                "priority": batch["o_orderpriority"].to_pandas(),
+                "o_year": pc.strftime(batch["o_orderdate"], "%Y").to_pandas(),
+                "cents": cents,
+            }
+        )
+        return df.groupby(["priority", "o_year"], sort=False, as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        def level(keys: list[str], gid: int) -> pd.DataFrame:
+            rows = []
+            groups = df.groupby(keys) if keys else [((), df)]
+            for key, g in groups:
+                row = dict(zip(keys, key if isinstance(key, tuple) else (key,)))
+                row.setdefault("priority", None)
+                row.setdefault("o_year", None)
+                row["grouping_id"] = gid
+                row["n_orders"] = exact_sum(g["n_orders"])
+                row["revenue"] = round_scaled_half_up(exact_sum(g["cents"]), 100, 2)
+                rows.append(row)
+            return pd.DataFrame(rows)
+
+        # grouping_id bits per SQL GROUPING(priority, o_year):
+        # 0 = finest, 1 = o_year rolled up, 3 = both rolled up
+        all_levels = pd.concat(
+            [level(["priority", "o_year"], 0), level(["priority"], 1), level([], 3)],
+            ignore_index=True,
+        )
+        return all_levels[
+            ["priority", "o_year", "grouping_id", "n_orders", "revenue"]
+        ]
+
+    out = two_phase(ds, partial, final).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["grouping_id"] = out["grouping_id"].astype("int64")
+    return out.sort_values(
+        ["grouping_id", "priority", "o_year"], na_position="last"
+    ).reset_index(drop=True)
+
+
+ROLLUP_REVENUE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y') AS o_year,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT priority, o_year,
+       CAST(grouping(priority, o_year) AS BIGINT) AS grouping_id,
+       count(*) AS n_orders,
+       CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+FROM o GROUP BY ROLLUP (priority, o_year)
+ORDER BY grouping_id, priority NULLS LAST, o_year NULLS LAST
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -2262,6 +2433,63 @@ def sk_qdigest_value_by_hour(sf_dir: str):
     for (metric, win), sk in sorted(sketches.items()):
         out.append((win, sk.quantile(0.5), sk.quantile(0.9), sk.n))
     return pd.DataFrame(out, columns=["window", "p50_cents", "p90_cents", "n"])
+
+
+def sk_window_rollup(sf_dir: str):
+    """Hierarchical sketch rollup (hour → day → total) WITHOUT re-scanning:
+    the one pass that builds per-hour Q-Digests is the only time input rows
+    move; every coarser window is a pure sketch merge (associative, O(K)
+    state per merge) of the finer level's sketches.
+
+    This is the mergeability property that makes sketches the right
+    summary at 100 TB: a year of hourly sketches re-aggregates to any
+    coarser calendar in milliseconds on the driver (here: 720 hour
+    sketches, ~KB each), where exact re-aggregation would re-shuffle the
+    corpus per rollup level.  Counts are exact through every merge
+    (sum-preserving), so ``n`` reconciles level-to-level by construction —
+    asserted in tests along with the rank-error bound at each level."""
+    from q_digest_ray.sketches.qdigest import QDigest
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"), "%Y-%m-%d %H:00")
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"window": win, "value_cents": cents})
+
+    rows = build_sketches(
+        ds.map_batches(add_cols, batch_format="pyarrow"),
+        [SketchSpec("rollup_cents", "value_cents", "qdigest", {"k": 64, "universe_bits": 16}, group_by="window")],
+    )
+    hours = {
+        win: sk for (_, win), sk in collect_sketches(merge_grouped(rows)).items()
+    }
+
+    def fold(members: list) -> "QDigest":
+        # merge() mutates self: fold into a FRESH sketch so the hour
+        # sketches stay queryable for their own output rows
+        acc = QDigest(k=64, universe_bits=16)
+        for m in members:
+            acc.merge(m)
+        return acc
+
+    days: dict[str, list] = {}
+    for win in sorted(hours):  # sorted: deterministic merge order
+        days.setdefault(win[:10], []).append(hours[win])
+    out = [
+        ("hour", win, sk.quantile(0.5), sk.quantile(0.9), sk.n)
+        for win, sk in sorted(hours.items())
+    ]
+    day_sketches = {day: fold(members) for day, members in sorted(days.items())}
+    out += [
+        ("day", day, sk.quantile(0.5), sk.quantile(0.9), sk.n)
+        for day, sk in sorted(day_sketches.items())
+    ]
+    total = fold([day_sketches[d] for d in sorted(day_sketches)])
+    out.append(("all", "", total.quantile(0.5), total.quantile(0.9), total.n))
+    return pd.DataFrame(
+        out, columns=["level", "window", "p50_cents", "p90_cents", "n"]
+    )
 
 
 def sk_bloom_membership(sf_dir: str):
@@ -3173,6 +3401,8 @@ EXACT_QUERIES = {
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "scrub_stats": (scrub_stats, SCRUB_STATS_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),
@@ -3205,6 +3435,7 @@ SKETCH_QUERIES = {
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
+    "sk_window_rollup": sk_window_rollup,
     "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
     "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,

@@ -1089,3 +1089,116 @@ def test_tfidf_top_terms_known_corpus(ray_session, tmp_path):
     assert 4 not in set(got["doc_id"])
     # bucket invariance (df and per-doc top-k both survive re-bucketing)
     pd.testing.assert_frame_equal(got, tfidf_top_terms(str(d), num_buckets=2))
+
+
+def test_scrub_stats_known_corpus(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import SCRUB_STATS_SQL, scrub_stats
+
+    docs = pa.table(
+        {
+            "lang": pa.array(["en", "en", "fr", None, "fr"]),
+            "text": pa.array(
+                [
+                    "a the cat a",  # 3 matches (a, the, a)
+                    "theatre and data",  # 0: 'the' embedded, \b guards
+                    "the a",  # 2
+                    "a the",  # excluded: null lang
+                    None,  # excluded: null text
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = scrub_stats(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(SCRUB_STATS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    en = got[got["lang"] == "en"].iloc[0]
+    assert en["n_docs"] == 2 and en["n_docs_scrubbed"] == 1
+    assert en["n_redactions"] == 3
+    # 'a the cat a' (11 chars) -> '<SCRUB> <SCRUB> cat <SCRUB>' (27)
+    assert en["chars_before"] == 11 + 16 and en["chars_after"] == 27 + 16
+    fr = got[got["lang"] == "fr"].iloc[0]
+    assert fr["n_docs"] == 1 and fr["n_redactions"] == 2
+
+
+def test_rollup_revenue_known_orders(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import ROLLUP_REVENUE_SQL, rollup_revenue
+
+    orders = pa.table(
+        {
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"]),
+            "o_orderdate": pa.array(
+                pd.to_datetime(
+                    ["2023-01-05", "2024-06-01", "2023-03-02", "2023-07-09"]
+                )
+            ),
+            # 2-decimal money per the fixedpoint contract (orders data is
+            # cents-exact; .005 ties are DECIMAL-vs-rint divergent by design)
+            "o_totalprice": pa.array([10.25, 20.50, 5.12, 4.88], pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(orders, str(d / "orders.parquet"))
+    got = rollup_revenue(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+    exp = con.sql(ROLLUP_REVENUE_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # level structure: 3 fine cells + 2 priority subtotals + 1 grand total
+    assert list(got["grouping_id"].value_counts().sort_index().items()) == [
+        (0, 3),
+        (1, 2),
+        (3, 1),
+    ]
+    total = got[got["grouping_id"] == 3].iloc[0]
+    assert total["n_orders"] == 4 and total["priority"] is None
+    assert total["revenue"] == pytest.approx(40.75)
+    # each priority subtotal equals the sum of its fine cells
+    for pr, g in got[got["grouping_id"] == 0].groupby("priority"):
+        sub = got[(got["grouping_id"] == 1) & (got["priority"] == pr)].iloc[0]
+        assert sub["n_orders"] == g["n_orders"].sum()
+        assert sub["revenue"] == pytest.approx(g["revenue"].sum())
+
+
+def test_sk_window_rollup_levels_reconcile(ray_session, tmp_path):
+    from q_digest_ray.pipelines.queries import sk_window_rollup
+
+    rng = np.random.default_rng(377)
+    n = 6000
+    ts = pd.to_datetime("2024-05-01") + pd.to_timedelta(
+        rng.integers(0, 72 * 3600, n), unit="s"
+    )  # 3 days x 24 hours
+    vals = np.round(rng.gamma(4.0, 25.0, n), 2)
+    ev = pa.table({"ts": pa.array(ts), "value": pa.array(vals, pa.float64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    got = sk_window_rollup(str(d))
+    hours = got[got["level"] == "hour"]
+    days = got[got["level"] == "day"]
+    tot = got[got["level"] == "all"].iloc[0]
+    assert len(days) == 3 and len(hours) == 72
+    # counts are exact through every merge: hour -> day -> all reconcile
+    for day, g in hours.groupby(hours["window"].str[:10]):
+        assert days[days["window"] == day]["n"].iloc[0] == g["n"].sum()
+    assert tot["n"] == days["n"].sum() == n
+    # rolled-up quantiles stay within the q-digest rank bound vs exact
+    cents = np.rint(vals * 100).astype(np.int64)
+    for p, est in ((0.5, tot["p50_cents"]), (0.9, tot["p90_cents"])):
+        rank = np.searchsorted(np.sort(cents), est, side="right")
+        assert abs(rank / n - p) < 0.05, (p, est, rank / n)

@@ -80,6 +80,9 @@ QUERY_NAMES = [
     "scrub_stats",
     "rollup_revenue",
     "sk_window_rollup",
+    "global_sort_ranks",
+    "bloom_prune_join",
+    "sk_incremental_build",
 ]
 
 

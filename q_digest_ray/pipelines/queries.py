@@ -1952,6 +1952,193 @@ ORDER BY grouping_id, priority NULLS LAST, o_year NULLS LAST
 """
 
 
+def global_sort_ranks(sf_dir: str, num_partitions: int = 16):
+    """Distributed GLOBAL sort with exact dense ranks — the sketch-driven
+    range-partition sort (the TeraSort shape), not Ray's built-in
+    ``Dataset.sort``:
+
+      1. one streaming pass builds a merged KLL over the sort key and
+         derives ~equal-mass range cut points (approximate cuts only skew
+         partition SIZES, never correctness);
+      2. a cheap counting pass yields each partition's exact row count →
+         global rank offsets (P tiny ints, broadcast via ray.put);
+      3. each range partition sorts independently and emits rows with
+         their exact global rank = offset + local position.
+
+    No single task ever holds more than one partition; ranks are exact
+    because partitions cover disjoint key ranges and ties break on the
+    unique doc_id.  The keyed scan runs twice (count + sort) — both
+    streaming and projection-pruned; a 100-TB run would reuse cuts from
+    the previous day's run or persist the keyed pass to make it one scan.
+    The query collects (contract); at scale step 3 writes straight to a
+    rank-partitioned sink."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    rows = build_sketches(ds, [SketchSpec("sort_kll", "n_chars", "kll", {"k": 200})])
+    sk = collect_sketches(merge_grouped(rows))[("sort_kll", "")]
+    cuts = np.unique(
+        np.asarray(
+            sk.quantiles([i / num_partitions for i in range(1, num_partitions)]),
+            dtype=np.float64,
+        )
+    )
+    P = len(cuts) + 1
+    cuts_ref = ray.put(cuts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(ray.get(cuts_ref), nc, side="right").astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        cnt = np.bincount(
+            batch["__part"].to_numpy(zero_copy_only=False), minlength=P
+        )
+        return pd.DataFrame(
+            {"part": np.arange(P, dtype=np.int64), "cnt": cnt.astype(np.int64)}
+        )
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("part", as_index=False).agg(cnt=("cnt", "sum"))
+
+    counts = two_phase(keyed, count_partial, count_final).to_pandas()
+    counts = counts.set_index("part")["cnt"].reindex(range(P), fill_value=0)
+    offsets = np.zeros(P, dtype=np.int64)
+    offsets[1:] = np.cumsum(counts.to_numpy())[:-1]
+    off_ref = ray.put(offsets)
+
+    def sort_partition(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["__part"].iloc[0])
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        off = int(ray.get(off_ref)[part])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(),
+                "global_rank": off + np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        keyed.groupby("__part")
+        .map_groups(sort_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("global_rank").reset_index(drop=True)
+
+
+GLOBAL_SORT_RANKS_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
+FROM documents ORDER BY global_rank
+"""
+
+
+def bloom_prune_join(sf_dir: str, min_total: float = 400000.0):
+    """Bloom-ACCELERATED exact semi join (the sketch-as-join-filter
+    optimization every distributed engine ships as 'runtime filters'):
+    revenue of line items belonging to high-value orders.
+
+    The build side (qualifying o_orderkeys) is distilled into a Bloom
+    filter DISTRIBUTED (per-block partials, merged — the build side is
+    never collected), broadcast once via ray.put; every lineitem batch
+    probes it locally and drops definite non-matches BEFORE the join
+    shuffle — at 10^12 rows that turns an input-sized exchange into a
+    match-sized-plus-ε one.  Bloom false positives are then removed by an
+    exact bucketed semi join against the real key set, so the result is
+    EXACT (oracle-checked); the filter only saves work, never changes it.
+    Money sums are exact fixed-point at scale 10^4 (price × discount)."""
+    from q_digest_ray.functions.fixedpoint import (
+        exact_sum,
+        round_scaled_half_up,
+        scaled_int64,
+    )
+
+    hv = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def only_hv(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["o_totalprice"], pa.scalar(min_total))
+        ).select(["o_orderkey"])
+
+    hv_keys = hv.map_batches(only_hv, batch_format="pyarrow")
+    rows = build_sketches(
+        hv_keys,
+        [SketchSpec("hv_bloom", "o_orderkey", "bloom", {"num_bits": 1 << 18, "num_hashes": 7})],
+    )
+    bloom = collect_sketches(merge_grouped(rows))[("hv_bloom", "")]
+    bloom_ref = ray.put(bloom)
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def prune_and_project(batch: pa.Table) -> pa.Table:
+        keep = ray.get(bloom_ref).contains(
+            batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        )
+        batch = batch.filter(pa.array(keep))
+        p100 = scaled_int64(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        d100 = scaled_int64(batch["l_discount"].to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_returnflag": batch["l_returnflag"],
+                "disc4": pa.array(p100 * (100 - d100)),
+            }
+        )
+
+    pruned = li.map_batches(prune_and_project, batch_format="pyarrow")
+
+    from q_digest_ray.stages.join import bucketed_join
+
+    matched = bucketed_join(
+        pruned, hv_keys, on="l_orderkey", right_on="o_orderkey", how="semi"
+    )
+
+    def agg_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "disc4": batch["disc4"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("l_returnflag", sort=False, as_index=False).agg(
+            n_items=("disc4", "size"), disc4=("disc4", "sum")
+        )
+
+    def agg_final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rf, g in df.groupby("l_returnflag"):
+            rows.append(
+                {
+                    "l_returnflag": rf,
+                    "n_items": exact_sum(g["n_items"]),
+                    "revenue": round_scaled_half_up(exact_sum(g["disc4"]), 10**4, 2),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = two_phase(matched, agg_partial, agg_final).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOOM_PRUNE_JOIN_SQL = """
+WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000.0)
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM hv)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def bpe_token_totals(sf_dir: str):
     """BPE-ish (GPT-2 pretokenizer family) token totals per lang."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
@@ -2489,6 +2676,76 @@ def sk_window_rollup(sf_dir: str):
     out.append(("all", "", total.quantile(0.5), total.quantile(0.9), total.n))
     return pd.DataFrame(
         out, columns=["level", "window", "p50_cents", "p90_cents", "n"]
+    )
+
+
+def sk_incremental_build(sf_dir: str):
+    """Incremental sketch MAINTENANCE (the daily-ingest ops pattern): build
+    sketch state over the base partition, serialize it (``to_bytes`` — the
+    checkpoint artifact a real deployment persists), then fold in ONLY the
+    delta partition and merge into the restored state — never re-scanning
+    the base.  A full rebuild runs alongside for comparison.
+
+    At 100 TB this is the difference between scanning yesterday's corpus
+    every day and scanning only the new shard: sketch counts stay exact
+    under merge (``n`` identical on both paths, asserted in tests) and
+    quantile/cardinality estimates agree within their bounds.  Events
+    split by day-of-month (base ≤ 15 < delta) — a deterministic stand-in
+    for the date-partitioned ingest directory."""
+    from q_digest_ray.sketches.hll import HyperLogLog
+    from q_digest_ray.sketches.qdigest import QDigest
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+    specs = [
+        SketchSpec("inc_q", "value_cents", "qdigest", {"k": 64, "universe_bits": 16}),
+        SketchSpec("inc_hll", "user_id", "hll", {"p": 12}),
+    ]
+
+    def prep(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            day = pc.day(batch["ts"])
+            mask = (
+                pc.less_equal(day, pa.scalar(15))
+                if which == "base"
+                else pc.greater(day, pa.scalar(15))
+            )
+            if which != "full":
+                batch = batch.filter(mask)
+            cents = pc.cast(
+                pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+            )
+            return pa.table(
+                {"value_cents": cents, "user_id": batch["user_id"]}
+            )
+
+        return fn
+
+    def built(which: str) -> dict:
+        rows = build_sketches(
+            ds.map_batches(prep(which), batch_format="pyarrow"), specs
+        )
+        sks = collect_sketches(merge_grouped(rows))
+        return {"q": sks[("inc_q", "")], "hll": sks[("inc_hll", "")]}
+
+    base, delta, full = built("base"), built("delta"), built("full")
+    # checkpoint round-trip: the base state crosses a process/day boundary
+    # as bytes, exactly like a persisted nightly artifact
+    restored_q = QDigest.from_bytes(base["q"].to_bytes())
+    restored_hll = HyperLogLog.from_bytes(base["hll"].to_bytes())
+    inc_q = restored_q.merge(delta["q"])
+    restored_hll.merge(delta["hll"])
+
+    def row(method: str, q, hll) -> dict:
+        return {
+            "method": method,
+            "n": q.n,
+            "p50_cents": q.quantile(0.5),
+            "p90_cents": q.quantile(0.9),
+            "distinct_users_est": round(hll.estimate(), 2),
+        }
+
+    return pd.DataFrame(
+        [row("incremental", inc_q, restored_hll), row("full", full["q"], full["hll"])]
     )
 
 
@@ -3403,6 +3660,8 @@ EXACT_QUERIES = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "scrub_stats": (scrub_stats, SCRUB_STATS_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
+    "global_sort_ranks": (global_sort_ranks, GLOBAL_SORT_RANKS_SQL),
+    "bloom_prune_join": (bloom_prune_join, BLOOM_PRUNE_JOIN_SQL),
     "mg_heavy_langs": (mg_heavy_langs, MG_HEAVY_LANGS_SQL),
     "customer_nation_revenue": (customer_nation_revenue, CUSTOMER_NATION_REVENUE_SQL),
     "orders_without_lineitems": (orders_without_lineitems, ORDERS_WITHOUT_LINEITEMS_SQL),
@@ -3436,6 +3695,7 @@ SKETCH_QUERIES = {
     "sk_cms_event_types": sk_cms_event_types,
     "sk_qdigest_value_by_hour": sk_qdigest_value_by_hour,
     "sk_window_rollup": sk_window_rollup,
+    "sk_incremental_build": sk_incremental_build,
     "sk_kmv_user_overlap": sk_kmv_user_overlap,
     "sk_bloom_membership": sk_bloom_membership,
     "sk_qdigest_by_lang_salted": sk_qdigest_by_lang_salted,

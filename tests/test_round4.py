@@ -1202,3 +1202,114 @@ def test_sk_window_rollup_levels_reconcile(ray_session, tmp_path):
     for p, est in ((0.5, tot["p50_cents"]), (0.9, tot["p90_cents"])):
         rank = np.searchsorted(np.sort(cents), est, side="right")
         assert abs(rank / n - p) < 0.05, (p, est, rank / n)
+
+
+def test_global_sort_ranks_known_and_partition_invariant(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import (
+        GLOBAL_SORT_RANKS_SQL,
+        global_sort_ranks,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 500
+    # heavy ties so partition boundaries fall ON duplicated keys
+    nchars = rng.integers(10, 40, n).astype(np.int64)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_chars": pa.array(nchars),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = global_sort_ranks(str(d))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(GLOBAL_SORT_RANKS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    assert list(got["global_rank"]) == list(range(1, n + 1))
+    # cut count must not affect the result (only partition sizes)
+    for p in (3, 64):
+        pd.testing.assert_frame_equal(got, global_sort_ranks(str(d), num_partitions=p))
+
+
+def test_bloom_prune_join_exact_vs_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from q_digest_ray.pipelines.queries import BLOOM_PRUNE_JOIN_SQL, bloom_prune_join
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_totalprice": pa.array([500000.0, 100.0, 400000.0, 399999.99]),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 4, 9], pa.int64()),
+            "l_returnflag": pa.array(["A", "R", "A", "N", "A", "A"]),
+            "l_extendedprice": pa.array([100.0, 200.0, 50.0, 10.0, 5.0, 7.0]),
+            "l_discount": pa.array([0.10, 0.00, 0.05, 0.25, 0.0, 0.0]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    got = bloom_prune_join(str(d))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    exp = con.sql(BLOOM_PRUNE_JOIN_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # orders 1 (500k) and 3 (400k, >= boundary) qualify; 4 misses by 1 cent;
+    # lineitem key 9 has no order at all — Bloom may pass it, the exact
+    # semi join must drop it
+    assert set(got["l_returnflag"]) == {"A", "N", "R"}
+    a = got[got["l_returnflag"] == "A"].iloc[0]
+    assert a["n_items"] == 1 and a["revenue"] == pytest.approx(90.0)
+
+
+def test_sk_incremental_build_reconciles(ray_session, tmp_path):
+    from q_digest_ray.pipelines.queries import sk_incremental_build
+
+    rng = np.random.default_rng(42)
+    n = 8000
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 30 * 24 * 3600 - 1, n), unit="s"
+    )
+    ev = pa.table(
+        {
+            "ts": pa.array(ts),
+            "user_id": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+            "value": pa.array(np.round(rng.gamma(3.0, 20.0, n), 2)),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    got = sk_incremental_build(str(d))
+    inc = got[got["method"] == "incremental"].iloc[0]
+    full = got[got["method"] == "full"].iloc[0]
+    # counts are exact through serialize -> restore -> delta merge
+    assert inc["n"] == full["n"] == n
+    # HLL register merge is order-independent: estimates agree exactly
+    assert inc["distinct_users_est"] == full["distinct_users_est"]
+    exact_users = ev["user_id"].to_pandas().nunique()
+    assert abs(inc["distinct_users_est"] - exact_users) / exact_users < 0.10
+    # both paths' quantiles stay within the q-digest rank bound vs exact
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    s = np.sort(cents)
+    for r in (inc, full):
+        for p, est in ((0.5, r["p50_cents"]), (0.9, r["p90_cents"])):
+            rank = np.searchsorted(s, est, side="right")
+            assert abs(rank / n - p) < 0.06, (r["method"], p, est, rank / n)

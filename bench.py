@@ -83,6 +83,14 @@ QUERY_NAMES = [
     "global_sort_ranks",
     "bloom_prune_join",
     "sk_incremental_build",
+    "corr_quantity_price",
+    "cust_order_count_dist",
+    "shipping_priority",
+    "lang_source_matrix",
+    "source_lang_entropy",
+    "inter_event_gaps",
+    "users_all_types",
+    "mode_priority_by_status",
 ]
 
 

@@ -3627,6 +3627,520 @@ def media_features(sf_dir: str, n_media: int = 1000):
     return g[["media_type", "n", "feature_dim", "mean_norm"]].reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# round-4 second slate: statistical moments, outer-join histogram, Q3-style
+# multiway join, pivot, entropy, lead/lag gaps, set intersection, mode
+# ---------------------------------------------------------------------------
+
+
+def corr_quantity_price(sf_dir: str):
+    """Distributed second-moment statistics (corr / stddev_samp /
+    covar_samp) per l_returnflag — the classic mergeable-moments UDAF: each
+    batch contributes EXACT integer sums (n, Σx, Σy, Σx², Σy², Σxy) over
+    cent-scaled values, partials merge by addition (commutative/associative
+    like every sketch in this repo), and the closed-form moments are
+    evaluated once on the combined exact sums.  Exactness beats the usual
+    Welford/Chan merge here: the inputs are 2-decimal money, so integer
+    sums are lossless at any block count, and the only float ops are the
+    final formula — bit-stable under any partitioning.
+
+    Overflow audit: Σy² per batch ≤ 65536 rows × (1.05e7 cents)² ≈ 7.2e18
+    < 2^63; the cross-block re-sum uses Python ints (exact_sum)."""
+
+    import math
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    from q_digest_ray.functions.fixedpoint import (
+        duckdb_round_double,
+        exact_sum,
+        scaled_int64,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = scaled_int64(batch["l_quantity"].to_numpy(zero_copy_only=False), 2)
+        y = scaled_int64(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rf, g in df.groupby("l_returnflag"):
+            n = exact_sum(g["n"])
+            sx, sy = exact_sum(g["sx"]), exact_sum(g["sy"])
+            sxx, syy, sxy = exact_sum(g["sxx"]), exact_sum(g["syy"]), exact_sum(g["sxy"])
+            vx = n * sxx - sx * sx  # exact ints: no cancellation anywhere
+            vy = n * syy - sy * sy
+            cxy = n * sxy - sx * sy
+            corr = float(cxy) / math.sqrt(float(vx) * float(vy))
+            # de-scale cents: stddev/100, covar/10^4
+            sd_qty = math.sqrt(float(vx) / (n * (n - 1))) / 100.0
+            cov_qp = float(cxy) / (n * (n - 1)) / 1e4
+            rows.append(
+                {
+                    "l_returnflag": rf,
+                    "n": n,
+                    "corr_qp": duckdb_round_double(corr, 6),
+                    "sd_qty": duckdb_round_double(sd_qty, 6),
+                    "covar_qp": duckdb_round_double(cov_qp, 4),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = two_phase(ds, partial, final, batch_size=65536).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+CORR_QUANTITY_PRICE_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def cust_order_count_dist(sf_dir: str, num_buckets: int | None = None):
+    """LEFT OUTER join as a distribution: orders-per-customer histogram
+    INCLUDING zero-order customers.  Neither side is broadcast: orders
+    pre-count per custkey inside each batch (the combiner — shuffle volume
+    is distinct custkeys per batch, not order rows), both sides hash-bucket
+    on the customer key, and each bucket resolves its own customers against
+    its own counts (a custkey lives in exactly one bucket).  The per-bucket
+    output is already a histogram, so the final combine sums tiny
+    (n_orders → n_customers) rows."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    B = num_buckets or derive_buckets(
+        size_bytes=(cust.size_bytes() or 0) + (orders.size_bytes() or 0)
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        b = (hash64(batch["c_custkey"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "custkey": batch["c_custkey"],
+                "cnt": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        keys = t["o_custkey"]
+        b = (hash64(keys) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "custkey": keys,
+                "cnt": t["o_custkey_count"].cast(pa.int64()),
+                "side": pa.array(np.full(t.num_rows, 1, np.int8)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        oc = g[g["side"] == 1].groupby("custkey")["cnt"].sum()
+        per_cust = (
+            g.loc[g["side"] == 0, "custkey"].map(oc).fillna(0).astype("int64")
+        )
+        vc = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "n_orders": vc.index.astype("int64"),
+                "n_customers": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+    df = both.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+    out = df.groupby("n_orders", as_index=False).agg(n_customers=("n_customers", "sum"))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("n_orders").reset_index(drop=True)
+
+
+CUST_ORDER_COUNT_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def shipping_priority(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q3-style three-table pipeline: segment-filtered customers
+    semi-prune orders (bucketed existence join — only distinct custkeys
+    ship per bucket), the surviving orders join date-filtered lineitems
+    co-partitioned on the order key, and revenue aggregates per order with
+    top-10 pruning per bucket before a tiny global top-10.
+
+    Per-bucket pruning is safe because ``bucketed_join`` emits each order
+    key's rows in exactly one bucket group (one output block), and the
+    partial stage consumes whole blocks (``batch_size=None``) — an order's
+    revenue is complete within its batch.  Money is exact cents·10^4
+    (price×(1-disc)), rounded half-up once at the end, and the sort uses
+    the ROUNDED revenue so engine and oracle order identically."""
+    from q_digest_ray.functions.fixedpoint import round_scaled_half_up, scaled_int64
+    from q_digest_ray.stages.join import bucketed_join
+
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_f = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    orders_f = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)), batch_format="pyarrow"
+    )
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        p100 = scaled_int64(batch["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        d100 = scaled_int64(batch["l_discount"].to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev4": pa.array(p100 * (100 - d100))}
+        )
+
+    li_f = li.map_batches(li_project, batch_format="pyarrow")
+    B = num_buckets or derive_buckets(
+        size_bytes=(orders.size_bytes() or 0) + (li.size_bytes() or 0)
+    )
+    orders_bld = bucketed_join(
+        orders_f, cust_f, on="o_custkey", right_on="c_custkey", num_buckets=B, how="semi"
+    )
+    joined = bucketed_join(
+        orders_bld, li_f, on="o_orderkey", right_on="l_orderkey", num_buckets=B
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                columns=["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+            )
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            rev4=("rev4", "sum"),
+            o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first"),
+        )
+        g["revenue"] = [round_scaled_half_up(v, 10**4, 2) for v in g["rev4"]]
+        g = g.sort_values(
+            ["revenue", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+        ).head(10)
+        return g.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+        ]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+        ).head(10)
+
+    from q_digest_ray.stages.agg import two_phase_pandas
+
+    out = two_phase_pandas(joined, partial, final, batch_size=None).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+                "o_orderdate": pd.Series(dtype="object"),
+                "o_orderpriority": pd.Series(dtype="object"),
+            }
+        )
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    return out.reset_index(drop=True)
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def lang_source_matrix(sf_dir: str):
+    """PIVOT: per-source doc counts spread across one column per language
+    (the fixed column set is inherent to pivoting — SQL needs it too).
+    Per-batch Arrow group_by((source, lang)) bounds partial volume at
+    sources × langs rows per block; the pivot itself runs once over the
+    tiny combined counts."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.select(["source", "lang", "lang_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).agg(n=("lang_count", "sum"))
+        mat = g.pivot_table(index="source", columns="lang", values="n", aggfunc="sum")
+        mat = mat.reindex(columns=_PIVOT_LANGS).fillna(0).astype("int64")
+        mat.columns = [f"n_{c}" for c in mat.columns]
+        mat["total"] = mat.sum(axis=1)
+        return mat.reset_index()
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("source").reset_index(drop=True)
+
+
+LANG_SOURCE_MATRIX_SQL = """
+SELECT source,
+       {cols},
+       count(*) AS total
+FROM documents GROUP BY source ORDER BY source
+""".format(
+    cols=",\n       ".join(
+        # CAST: DuckDB integer sum() is HUGEINT, which pandas floats
+        f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{l}"
+        for l in _PIVOT_LANGS
+    )
+)
+
+
+def source_lang_entropy(sf_dir: str):
+    """Shannon entropy (log2) of each source's language distribution —
+    the diversity metric a corpus-curation report wants per shard/source.
+    Distributed part is plain (source, lang) counting; the entropy formula
+    runs once over the tiny count table, mirroring DuckDB's entropy()."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.select(["source", "lang", "lang_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).agg(n=("lang_count", "sum"))
+        rows = []
+        for src, grp in g.groupby("source"):
+            n = grp["n"].to_numpy(dtype=np.float64)
+            p = n / n.sum()
+            h = float(-(p * np.log2(p)).sum())
+            rows.append(
+                {
+                    "source": src,
+                    "lang_entropy": duckdb_round_double(h, 6),
+                    "n_langs": int(len(grp)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["n_langs"] = df["n_langs"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+SELECT source, round(entropy(lang), 6) AS lang_entropy,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def inter_event_gaps(sf_dir: str, num_buckets: int | None = None):
+    """LAG window + aggregation: per event type, statistics of the time gap
+    to the same user's previous event (any type).  Users hash-bucket so
+    each user's timeline is complete in one group; per-bucket sort +
+    np.diff with user-boundary masking computes all gaps vectorized; gap
+    partials (n, Σµs, max µs) merge exactly.  The avg divides in the same
+    float op order as the oracle (double(Σ)/n/10^6) for bit-equality."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    B = num_buckets or derive_buckets(ds)
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch["user_id"]) % np.uint64(B)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()  # µs since epoch
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        same = np.zeros(len(ts), bool)
+        uid = g["user_id"].to_numpy()
+        same[1:] = uid[1:] == uid[:-1]
+        d = pd.DataFrame({"event_type": g["event_type"].to_numpy()[same], "gap": gap[same]})
+        return d.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_us=("gap", "sum"), max_us=("gap", "max")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        from q_digest_ray.functions.fixedpoint import exact_sum
+
+        rows = []
+        for et, g in df.groupby("event_type"):
+            n = exact_sum(g["n_gaps"])
+            s = exact_sum(g["sum_us"])
+            mx = int(g["max_us"].max())
+            rows.append(
+                {
+                    "event_type": et,
+                    "n_gaps": n,
+                    "avg_gap_s": duckdb_round_double(float(s) / n / 1_000_000.0, 3),
+                    "max_gap_s": duckdb_round_double(float(mx) / 1_000_000.0, 3),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    df = parts.repartition(1).map_batches(final, batch_format="pandas", batch_size=None).to_pandas()
+    df["n_gaps"] = df["n_gaps"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+INTER_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT event_type, count(gap_us) AS n_gaps,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000, 3) AS avg_gap_s,
+       round(CAST(max(gap_us) AS DOUBLE) / 1000000, 3) AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def users_all_types(sf_dir: str, num_buckets: int | None = None):
+    """Set INTERSECTION across groups: how many users appear in EVERY
+    event type.  The global type universe is a tiny first pass; the main
+    pass ships distinct (user, type) pairs into user-hash buckets and each
+    bucket counts its own qualifying users (a user lives in one bucket, so
+    counts sum exactly)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    B = num_buckets or derive_buckets(ds)
+
+    types = (
+        read_table(sf_dir, "events", columns=["event_type"])
+        .map_batches(
+            lambda b: b.group_by(["event_type"]).aggregate([]), batch_format="pyarrow"
+        )
+        .to_pandas()["event_type"]
+        .nunique()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["event_type", "user_id"]).aggregate([])
+        bucket = (hash64(t["user_id"]) % np.uint64(B)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        per_user = d.groupby("user_id")["event_type"].nunique()
+        return pd.DataFrame({"n": [int((per_user == types).sum())]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_users": [int(parts["n"].sum())]})
+
+
+USERS_ALL_TYPES_SQL = """
+SELECT count(*) AS n_users FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING count(DISTINCT event_type) = (SELECT count(DISTINCT event_type) FROM events)
+)
+"""
+
+
+def mode_priority_by_status(sf_dir: str):
+    """Deterministic MODE per group (most frequent o_orderpriority per
+    order status; ties broken lexicographically — SQL mode() leaves ties
+    unspecified, so both sides spell the tie-break explicitly).  Counting
+    is the usual bounded two-phase; argmax runs on the tiny final table."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return g.select(["o_orderstatus", "o_orderpriority", "o_orderpriority_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).agg(
+            n_orders=("o_orderpriority_count", "sum")
+        )
+        g = g.sort_values(
+            ["o_orderstatus", "n_orders", "o_orderpriority"],
+            ascending=[True, False, True],
+        )
+        top = g.groupby("o_orderstatus", as_index=False).first()
+        return top.rename(columns={"o_orderpriority": "top_priority"})
+
+    df = two_phase(ds, partial, final).to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return (
+        df[["o_orderstatus", "top_priority", "n_orders"]]
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
+MODE_PRIORITY_BY_STATUS_SQL = """
+SELECT o_orderstatus, o_orderpriority AS top_priority, n_orders FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -3671,6 +4185,14 @@ EXACT_QUERIES = {
     "top_terms_per_lang": (top_terms_per_lang, TOP_TERMS_PER_LANG_SQL),
     "docs_vs_lang_median": (docs_vs_lang_median, DOCS_VS_LANG_MEDIAN_SQL),
     "cross_source_contamination": (cross_source_contamination, CROSS_SOURCE_CONTAMINATION_SQL),
+    "corr_quantity_price": (corr_quantity_price, CORR_QUANTITY_PRICE_SQL),
+    "cust_order_count_dist": (cust_order_count_dist, CUST_ORDER_COUNT_DIST_SQL),
+    "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "lang_source_matrix": (lang_source_matrix, LANG_SOURCE_MATRIX_SQL),
+    "source_lang_entropy": (source_lang_entropy, SOURCE_LANG_ENTROPY_SQL),
+    "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
+    "users_all_types": (users_all_types, USERS_ALL_TYPES_SQL),
+    "mode_priority_by_status": (mode_priority_by_status, MODE_PRIORITY_BY_STATUS_SQL),
 }
 
 SKETCH_QUERIES = {

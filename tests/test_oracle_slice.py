@@ -22,6 +22,14 @@ NAMES = [
     "top_terms_per_lang",
     "docs_vs_lang_median",
     "cross_source_contamination",
+    "corr_quantity_price",
+    "cust_order_count_dist",
+    "shipping_priority",
+    "lang_source_matrix",
+    "source_lang_entropy",
+    "inter_event_gaps",
+    "users_all_types",
+    "mode_priority_by_status",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Round-4 second-slate tests: moment-merge statistics, outer-join
+histogram, Q3-style multiway join, pivot/entropy, lag gaps, set
+intersection — partitioning invariance (results must not depend on the
+bucket count B) and shape checks beyond the oracle-slice parity."""
+
+import pandas as pd
+import pytest
+
+from q_digest_ray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _eq(a: pd.DataFrame, b: pd.DataFrame):
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_cust_order_count_dist_bucket_invariance(ray_session):
+    a = Q.cust_order_count_dist(SF, num_buckets=2)
+    b = Q.cust_order_count_dist(SF, num_buckets=16)
+    _eq(a, b)
+    # every customer is accounted for exactly once
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).num_rows
+    assert int(a["n_customers"].sum()) == n_cust
+
+
+def test_inter_event_gaps_bucket_invariance(ray_session):
+    a = Q.inter_event_gaps(SF, num_buckets=2)
+    b = Q.inter_event_gaps(SF, num_buckets=32)
+    _eq(a, b)
+    assert (a["avg_gap_s"] > 0).all()
+    assert (a["max_gap_s"] >= a["avg_gap_s"]).all()
+
+
+def test_shipping_priority_bucket_invariance(ray_session):
+    a = Q.shipping_priority(SF, num_buckets=2)
+    b = Q.shipping_priority(SF, num_buckets=16)
+    _eq(a, b)
+    assert len(a) <= 10
+    # revenue sorted descending, rounded to cents
+    assert (a["revenue"].to_numpy()[:-1] >= a["revenue"].to_numpy()[1:]).all()
+
+
+def test_users_all_types_bucket_invariance(ray_session):
+    a = Q.users_all_types(SF, num_buckets=2)
+    b = Q.users_all_types(SF, num_buckets=16)
+    assert int(a["n_users"][0]) == int(b["n_users"][0])
+
+
+def test_corr_moments_match_pandas(ray_session):
+    """The exact-integer moment merge reproduces textbook corr/stddev."""
+    import pyarrow.parquet as pq
+
+    got = Q.corr_quantity_price(SF)
+    df = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    for _, row in got.iterrows():
+        g = df[df["l_returnflag"] == row["l_returnflag"]]
+        assert row["n"] == len(g)
+        assert row["corr_qp"] == pytest.approx(
+            g["l_quantity"].corr(g["l_extendedprice"]), abs=2e-6
+        )
+        assert row["sd_qty"] == pytest.approx(g["l_quantity"].std(), abs=2e-6)
+
+
+def test_entropy_bounds(ray_session):
+    """0 <= H <= log2(n_langs) for every source."""
+    import numpy as np
+
+    got = Q.source_lang_entropy(SF)
+    assert (got["lang_entropy"] >= 0).all()
+    assert (got["lang_entropy"] <= np.log2(got["n_langs"].clip(lower=2))).all()
+
+
+def test_pivot_totals_match_lang_counts(ray_session):
+    """Pivot column sums must equal the global per-lang counts."""
+    mat = Q.lang_source_matrix(SF)
+    counts = Q.lang_counts(SF).set_index("lang")["cnt"]
+    for lang in ["de", "en", "es", "fr", "zh"]:
+        assert int(mat[f"n_{lang}"].sum()) == int(counts.get(lang, 0))
+    assert (mat[[f"n_{l}" for l in ["de", "en", "es", "fr", "zh"]]].sum(axis=1) == mat["total"]).all()

@@ -91,6 +91,13 @@ QUERY_NAMES = [
     "inter_event_gaps",
     "users_all_types",
     "mode_priority_by_status",
+    "event_pair_counts",
+    "zscore_outliers",
+    "mad_nchars_by_lang",
+    "user_first_last",
+    "funnel_conversion",
+    "embedding_centroid_norms",
+    "table_profile",
 ]
 
 

@@ -4141,6 +4141,522 @@ WHERE rn = 1 ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 third slate: windowed self-join, z-score outliers, grouped MAD,
+# first/last per key, funnel, vector centroids, table profile
+# ---------------------------------------------------------------------------
+
+
+def event_pair_counts(sf_dir: str, num_buckets: int | None = None, window_s: int = 3600):
+    """Windowed SELF-join: count (earlier type → later type) event pairs of
+    the same user within ``window_s`` seconds — the co-occurrence matrix a
+    behavioral pipeline mines.  Users hash-bucket; inside a bucket the
+    timeline sorts once by (user, ts, id) and every row's in-window
+    successor range comes from TWO vectorized searchsorted calls over a
+    user-offset-composited key (each user's block is shifted by
+    rank·(span+W+1) so ranges can never cross users); pairs flatten via
+    arithmetic range expansion — no Python loop, and only the 25-row
+    type-pair matrix leaves each bucket.
+
+    Scale bound: in-window pair multiplicity is data-bounded (events per
+    user per window); the composite-key offset needs users-per-bucket ×
+    ts-span < 2^63 — at web scale raise B rather than widening buckets."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    B = num_buckets or derive_buckets(ds)
+    W = int(window_s) * 1_000_000  # µs
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch["user_id"]) % np.uint64(B)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        uid, _ = pd.factorize(g["user_id"], sort=False)
+        span = int(ts.max() - ts.min()) if len(ts) else 0
+        key = (ts - (ts.min() if len(ts) else 0)) + uid.astype(np.int64) * (span + W + 1)
+        lo = np.searchsorted(key, key, side="right")  # skips ts ties (strict >)
+        hi = np.searchsorted(key, key + W, side="right")
+        m = hi - lo
+        total = int(m.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"t1": pd.Series(dtype=object), "t2": pd.Series(dtype=object),
+                 "n_pairs": pd.Series(dtype="int64")}
+            )
+        # flatten [lo_i, hi_i) ranges: start offsets + local arange
+        starts = np.repeat(lo, m)
+        local = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+        types = g["event_type"].to_numpy()
+        d = pd.DataFrame({"t1": np.repeat(types, m), "t2": types[starts + local]})
+        out = d.groupby(["t1", "t2"], as_index=False).size()
+        return out.rename(columns={"size": "n_pairs"})
+
+    df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df.groupby(["t1", "t2"], as_index=False).agg(n_pairs=("n_pairs", "sum"))
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
+EVENT_PAIR_COUNTS_SQL = """
+SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY t1, t2 ORDER BY t1, t2
+"""
+
+
+def zscore_outliers(sf_dir: str):
+    """Group-statistic broadcast, z-score form: pass 1 merges EXACT integer
+    moments (n, Σx, Σx²) per lang — the same commutative partials as
+    corr_quantity_price — pass 2 streams every doc against its lang's
+    (mean, stddev) from the object store and counts |z| > 2 outliers.  No
+    shuffle in either pass."""
+    import math
+
+    from q_digest_ray.functions.fixedpoint import exact_sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "n": np.ones(len(x), np.int64),
+                "s": x,
+                "ss": x * x,
+            }
+        )
+        return df.groupby("lang", as_index=False).sum()
+
+    def stats_final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            n = exact_sum(g["n"])
+            s, ss = exact_sum(g["s"]), exact_sum(g["ss"])
+            m = s / n
+            sd = math.sqrt(float(n * ss - s * s) / (n * (n - 1)))
+            rows.append({"lang": lang, "m": m, "sd": sd})
+        return pd.DataFrame(rows)
+
+    stats = two_phase(ds, moments, stats_final).to_pandas()
+    stats_ref = ray.put(
+        {r["lang"]: (r["m"], r["sd"]) for _, r in stats.iterrows()}
+    )
+
+    class Tagger:
+        def __init__(self):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
+            x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = lang.map({k: v[0] for k, v in self.stats.items()}).to_numpy()
+            sd = lang.map({k: v[1] for k, v in self.stats.items()}).to_numpy()
+            out = pd.DataFrame(
+                {"lang": lang, "is_out": (np.abs(x - m) / sd > 2.0).astype(np.int64)}
+            )
+            return out.groupby("lang", as_index=False).agg(
+                n_outliers=("is_out", "sum"), n_docs=("is_out", "size")
+            )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_outliers=("n_outliers", "sum"), n_docs=("n_docs", "sum")
+        )
+        return g
+
+    out = two_phase(ds, Tagger, final, batch_size=None, concurrency=pool_limits()).to_pandas()
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+ZSCORE_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT lang, avg(n_chars) AS m, stddev_samp(n_chars) AS sd
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(sum(CASE WHEN abs(d.n_chars - s.m) / s.sd > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n_docs
+FROM documents d JOIN s USING (lang)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def _weighted_quantile_cont(v: np.ndarray, w: np.ndarray, q: float) -> float:
+    """quantile_cont over a weighted (value, count) histogram — DuckDB's
+    median()/quantile_cont semantics: rank position (n-1)·q with linear
+    interpolation.  v must be sorted ascending."""
+    n = int(w.sum())
+    pos = (n - 1) * q
+    r0 = int(np.floor(pos))
+    frac = pos - r0
+    cum = np.cumsum(w)
+    i0 = int(np.searchsorted(cum, r0 + 1))
+    x0 = float(v[i0])
+    if frac == 0.0:
+        return x0
+    i1 = int(np.searchsorted(cum, r0 + 2))
+    return x0 + frac * (float(v[i1]) - x0)
+
+
+def mad_nchars_by_lang(sf_dir: str):
+    """Exact grouped MAD (median absolute deviation) — BOTH medians from
+    one distributed value-counts histogram: the partial volume is distinct
+    (lang, n_chars) pairs per batch, and the final per-lang step reuses the
+    same histogram twice (median, then weighted median of |x − median|)
+    with DuckDB's interpolating quantile_cont semantics — no second pass
+    over the data, no sort of the raw rows."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.select(["lang", "n_chars", "n_chars_count"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            h = g.groupby("n_chars", as_index=False).agg(w=("n_chars_count", "sum"))
+            h = h.sort_values("n_chars")
+            v = h["n_chars"].to_numpy(dtype=np.float64)
+            w = h["w"].to_numpy(dtype=np.int64)
+            med = _weighted_quantile_cont(v, w, 0.5)
+            d = np.abs(v - med)
+            order = np.argsort(d, kind="stable")
+            mad = _weighted_quantile_cont(d[order], w[order], 0.5)
+            rows.append(
+                {
+                    "lang": lang,
+                    "p50_cont": duckdb_round_double(med, 2),
+                    "mad_nchars": duckdb_round_double(mad, 2),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+MAD_NCHARS_BY_LANG_SQL = """
+WITH med AS (SELECT lang, median(n_chars) AS m FROM documents GROUP BY lang)
+SELECT d.lang, round(max(med.m), 2) AS p50_cont,
+       round(median(abs(d.n_chars - med.m)), 2) AS mad_nchars
+FROM documents d JOIN med USING (lang)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def user_first_last(sf_dir: str, num_buckets: int | None = None):
+    """First/last aggregation (arg_min/arg_max by timestamp) per user:
+    which event type opened and closed each user's history.  User-hash
+    buckets co-locate timelines; one per-bucket sort serves both ends.
+    Listing-shaped output (one row per user) — the queries-collect /
+    library-streams contract applies."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    B = num_buckets or derive_buckets(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch["user_id"]) % np.uint64(B)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", as_index=False).agg(
+            first_type=("event_type", "first"),
+            last_type=("event_type", "last"),
+            n_events=("event_type", "size"),
+        )
+        return out
+
+    df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+USER_FIRST_LAST_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn = n THEN event_type END) AS last_type,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+def funnel_conversion(sf_dir: str, num_buckets: int | None = None):
+    """Sequence funnel: users who signed up, users who purchased, and users
+    whose FIRST signup strictly precedes their FIRST purchase.  Per-batch
+    Arrow min-ts partials per (user, step) bound shuffle volume at distinct
+    users per batch; user-hash buckets make per-user mins exact."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    B = num_buckets or derive_buckets(ds)
+    steps = pa.array(["signup", "purchase"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=steps))
+        g = batch.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        bucket = (hash64(g["user_id"]) % np.uint64(B)).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["user_id", "event_type"], as_index=False)["ts_min"]
+            .min()
+            .pivot(index="user_id", columns="event_type", values="ts_min")
+        )
+        s = m["signup"] if "signup" in m else pd.Series(pd.NaT, index=m.index)
+        p = m["purchase"] if "purchase" in m else pd.Series(pd.NaT, index=m.index)
+        return pd.DataFrame(
+            {
+                "n_signup": [int(s.notna().sum())],
+                "n_purchase": [int(p.notna().sum())],
+                "n_converted": [int((s.notna() & p.notna() & (s < p)).sum())],
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_signup": [int(df["n_signup"].sum())],
+            "n_purchase": [int(df["n_purchase"].sum())],
+            "n_converted": [int(df["n_converted"].sum())],
+        }
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+SELECT CAST(count(*) FILTER (WHERE s IS NOT NULL) AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE p IS NOT NULL) AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE s IS NOT NULL AND p IS NOT NULL AND s < p) AS BIGINT) AS n_converted
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+)
+"""
+
+
+_EMB_DIM = 64
+
+
+def embedding_centroid_norms(sf_dir: str):
+    """Per-label vector centroids as mergeable partials: each batch
+    accumulates one partial SUM VECTOR per label (np.add.at over the
+    factorized labels — a 64-wide float64 row per label per block, not per
+    vector), the final combine averages and takes the L2 norm.  For
+    unit-normalized embeddings the centroid norm is the cluster's
+    coherence (1 = all identical, →0 = isotropic)."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        M = np.zeros((len(uniq), X.shape[1]), np.float64)
+        np.add.at(M, inv, X)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        df = pd.DataFrame(M, columns=[f"s{i}" for i in range(X.shape[1])])
+        df.insert(0, "label", uniq.astype(np.int64))
+        df["n"] = cnt
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        scols = [c for c in df.columns if c.startswith("s")]
+        g = df.groupby("label", as_index=False).sum()
+        M = g[scols].to_numpy() / g["n"].to_numpy()[:, None]
+        return pd.DataFrame(
+            {
+                "label": g["label"].astype("int64"),
+                "n_vecs": g["n"].astype("int64"),
+                "centroid_norm": [
+                    duckdb_round_double(x, 6) for x in np.sqrt((M * M).sum(axis=1))
+                ],
+            }
+        )
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("label").reset_index(drop=True)
+
+
+EMBEDDING_CENTROID_NORMS_SQL = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings
+),
+c AS (SELECT label, dim, avg(x) AS m FROM u GROUP BY label, dim),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT c.label, n.n_vecs, round(sqrt(sum(c.m * c.m)), 6) AS centroid_norm
+FROM c JOIN n USING (label)
+GROUP BY c.label, n.n_vecs ORDER BY c.label
+"""
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_PROFILE_NUMERIC = {"doc_id", "n_chars"}
+
+
+def table_profile(sf_dir: str, num_buckets: int | None = None):
+    """SUMMARIZE-style whole-table profile of documents: per column —
+    rows, nulls, EXACT distinct count, min/max (as strings), mean for
+    numerics.  Two passes: (1) a single bucketed distinct pass carrying
+    (col, h1, h2) 128-bit value keys for ALL columns through one shuffle
+    (volume = distinct values per batch, never row payloads); (2) a
+    two-phase min/max/null/sum pass whose partials are 5 tiny rows per
+    block.  The per-column results assemble on the driver (15-row output).
+    128-bit keys make 'exact' hold to ~10^18 distinct values (same
+    argument as distinct_text_count)."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+
+    ds = read_table(sf_dir, "documents", columns=_PROFILE_COLS)
+    B = num_buckets or derive_buckets(ds)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cols, h1s, h2s, buckets = [], [], [], []
+        for ci, name in enumerate(_PROFILE_COLS):
+            arr = batch[name]
+            valid = pc.is_valid(arr)
+            arr = arr.filter(valid) if arr.null_count else arr
+            h1 = hash64(arr, seed=0x9E37)
+            h2 = hash64(arr, seed=0xC2B2)
+            order = np.argsort(h1, kind="stable")
+            h1, h2 = h1[order], h2[order]
+            keep = np.ones(len(h1), dtype=bool)
+            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            h1, h2 = h1[keep], h2[keep]
+            cols.append(np.full(len(h1), ci, np.int8))
+            h1s.append(h1.view(np.int64))
+            h2s.append(h2.view(np.int64))
+            buckets.append((h1 % np.uint64(B)).astype(np.int32))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols)),
+                "h1": pa.array(np.concatenate(h1s)),
+                "h2": pa.array(np.concatenate(h2s)),
+                "bucket": pa.array(np.concatenate(buckets)),
+            }
+        )
+
+    def distinct_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "h1", "h2"])
+        out = d.groupby("col", as_index=False).agg(n_distinct=("h1", "size"))
+        return out
+
+    distinct = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n_distinct=("n_distinct", "sum"))
+    )
+    n_distinct = dict(zip(distinct["col"], distinct["n_distinct"]))
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for name in _PROFILE_COLS:
+            arr = batch[name]
+            mm = pc.min_max(arr)
+            s = None
+            if name in _PROFILE_NUMERIC:
+                s = int(
+                    pc.sum(arr).as_py() or 0
+                )
+            rows.append(
+                {
+                    "col_name": name,
+                    "n_rows": batch.num_rows,
+                    "n_nulls": arr.null_count,
+                    "min_v": str(mm["min"].as_py()) if mm["min"].is_valid else None,
+                    "max_v": str(mm["max"].as_py()) if mm["max"].is_valid else None,
+                    "sum_v": s,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def stats_final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for name, g in df.groupby("col_name"):
+            n_rows = int(g["n_rows"].sum())
+            n_nulls = int(g["n_nulls"].sum())
+            mins = g["min_v"].dropna()
+            maxs = g["max_v"].dropna()
+            if name in _PROFILE_NUMERIC:
+                # numeric min/max compare numerically, not lexically
+                min_s = str(min(int(v) for v in mins)) if len(mins) else None
+                max_s = str(max(int(v) for v in maxs)) if len(maxs) else None
+                mean = duckdb_round_double(
+                    exact_sum(g["sum_v"].dropna()) / (n_rows - n_nulls), 4
+                )
+            else:
+                min_s = mins.min() if len(mins) else None
+                max_s = maxs.max() if len(maxs) else None
+                mean = None
+            rows.append(
+                {
+                    "col_name": name,
+                    "n_rows": n_rows,
+                    "n_nulls": n_nulls,
+                    "min_s": min_s,
+                    "max_s": max_s,
+                    "mean": mean,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    stats = two_phase(ds, stats_partial, stats_final).to_pandas()
+    stats["n_distinct"] = stats["col_name"].map(
+        {name: int(n_distinct.get(ci, 0)) for ci, name in enumerate(_PROFILE_COLS)}
+    )
+    stats["n_rows"] = stats["n_rows"].astype("int64")
+    stats["n_nulls"] = stats["n_nulls"].astype("int64")
+    stats["n_distinct"] = stats["n_distinct"].astype("int64")
+    return (
+        stats[["col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s", "mean"]]
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s,
+       {f'round(avg({c}), 4)' if c in _PROFILE_NUMERIC else 'CAST(NULL AS DOUBLE)'} AS mean
+FROM documents"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -4193,6 +4709,13 @@ EXACT_QUERIES = {
     "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
     "users_all_types": (users_all_types, USERS_ALL_TYPES_SQL),
     "mode_priority_by_status": (mode_priority_by_status, MODE_PRIORITY_BY_STATUS_SQL),
+    "event_pair_counts": (event_pair_counts, EVENT_PAIR_COUNTS_SQL),
+    "zscore_outliers": (zscore_outliers, ZSCORE_OUTLIERS_SQL),
+    "mad_nchars_by_lang": (mad_nchars_by_lang, MAD_NCHARS_BY_LANG_SQL),
+    "user_first_last": (user_first_last, USER_FIRST_LAST_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
+    "embedding_centroid_norms": (embedding_centroid_norms, EMBEDDING_CENTROID_NORMS_SQL),
+    "table_profile": (table_profile, TABLE_PROFILE_SQL),
 }
 
 SKETCH_QUERIES = {

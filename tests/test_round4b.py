@@ -78,6 +78,58 @@ def test_entropy_bounds(ray_session):
     assert (got["lang_entropy"] <= np.log2(got["n_langs"].clip(lower=2))).all()
 
 
+def test_event_pair_counts_bucket_invariance(ray_session):
+    a = Q.event_pair_counts(SF, num_buckets=2)
+    b = Q.event_pair_counts(SF, num_buckets=32)
+    _eq(a, b)
+    assert (a["n_pairs"] > 0).any()
+
+
+def test_event_pair_counts_window_monotone(ray_session):
+    """A wider window can only add pairs."""
+    narrow = Q.event_pair_counts(SF, window_s=600)["n_pairs"].sum()
+    wide = Q.event_pair_counts(SF, window_s=7200)["n_pairs"].sum()
+    assert wide >= narrow
+
+
+def test_user_first_last_bucket_invariance(ray_session):
+    a = Q.user_first_last(SF, num_buckets=2)
+    b = Q.user_first_last(SF, num_buckets=16)
+    _eq(a, b)
+    assert (a["n_events"] >= 1).all()
+
+
+def test_funnel_bucket_invariance_and_ordering(ray_session):
+    a = Q.funnel_conversion(SF, num_buckets=2)
+    b = Q.funnel_conversion(SF, num_buckets=16)
+    _eq(a, b)
+    # converted is a subset of both funnel stages
+    assert int(a["n_converted"][0]) <= min(int(a["n_signup"][0]), int(a["n_purchase"][0]))
+
+
+def test_weighted_quantile_cont_matches_numpy():
+    """The interpolating weighted quantile equals numpy's quantile on the
+    expanded sample (DuckDB quantile_cont semantics)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.sort(rng.integers(0, 50, size=12)).astype(np.float64)
+    v, w = np.unique(vals, return_counts=True)
+    for q in (0.0, 0.25, 0.5, 0.77, 1.0):
+        got = Q._weighted_quantile_cont(v, w.astype(np.int64), q)
+        assert got == pytest.approx(np.quantile(vals, q), abs=1e-12)
+
+
+def test_table_profile_distinct_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    prof = Q.table_profile(SF).set_index("col_name")
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for col in ["doc_id", "lang", "source", "n_chars", "text"]:
+        assert prof.loc[col, "n_distinct"] == df[col].nunique()
+        assert prof.loc[col, "n_rows"] == len(df)
+
+
 def test_pivot_totals_match_lang_counts(ray_session):
     """Pivot column sums must equal the global per-lang counts."""
     mat = Q.lang_source_matrix(SF)

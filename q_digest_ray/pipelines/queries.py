@@ -425,52 +425,50 @@ def order_revenue_by_nation(sf_dir: str):
     nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     custkeys = np.asarray(cust["c_custkey"])
     order_c = np.argsort(custkeys)
+    nation_keys = np.asarray(nat["n_nationkey"])
+    order_n = np.argsort(nation_keys)
     lookup = {
         "custkeys": custkeys[order_c],
         "nationkey_by_cust": np.asarray(cust["c_nationkey"])[order_c],
-        "nation_names": nat["n_name"].to_pylist(),
-        "nation_keys": np.asarray(nat["n_nationkey"]),
+        # pre-sorted on the driver so the per-task fn is lookup-only
+        "nkeys": nation_keys[order_n],
+        "nnames": np.array(nat["n_name"].to_pylist(), dtype=object)[order_n],
     }
     ref = ray.put(lookup)
 
-    class JoinAgg:
-        def __init__(self):
-            self.lk = ray.get(ref)
-            order_n = np.argsort(self.lk["nation_keys"])
-            self.nkeys = self.lk["nation_keys"][order_n]
-            self.nnames = np.array(self.lk["nation_names"], dtype=object)[order_n]
+    # plain-function broadcast lookup: ray.get on a local ref is zero-copy
+    # per task, and skipping the actor pool saves its ~1 s spin-up
+    def join_agg(batch: pa.Table) -> pd.DataFrame:
+        lk = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy()
+        pos = np.searchsorted(lk["custkeys"], ck)
+        # inner-join semantics: drop custkeys absent from customer
+        # (a bare lookup would mis-attribute revenue or index OOB)
+        pos_safe = np.minimum(pos, len(lk["custkeys"]) - 1)
+        present = lk["custkeys"][pos_safe] == ck
+        pos = pos_safe[present]
+        nk = lk["nationkey_by_cust"][pos]
+        npos = np.searchsorted(lk["nkeys"], nk)
+        # same guard as the custkey lookup: an absent nationkey would
+        # index OOB or silently attribute revenue to the next nation
+        npos_safe = np.minimum(npos, len(lk["nkeys"]) - 1)
+        nation_ok = lk["nkeys"][npos_safe] == nk
+        names = lk["nnames"][npos_safe[nation_ok]]
+        from q_digest_ray.functions.fixedpoint import scaled_int64
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ck = batch["o_custkey"].to_numpy()
-            pos = np.searchsorted(self.lk["custkeys"], ck)
-            # inner-join semantics: drop custkeys absent from customer
-            # (a bare lookup would mis-attribute revenue or index OOB)
-            pos_safe = np.minimum(pos, len(self.lk["custkeys"]) - 1)
-            present = self.lk["custkeys"][pos_safe] == ck
-            pos = pos_safe[present]
-            nk = self.lk["nationkey_by_cust"][pos]
-            npos = np.searchsorted(self.nkeys, nk)
-            # same guard as the custkey lookup: an absent nationkey would
-            # index OOB or silently attribute revenue to the next nation
-            npos_safe = np.minimum(npos, len(self.nkeys) - 1)
-            nation_ok = self.nkeys[npos_safe] == nk
-            pos = pos[nation_ok]
-            names = self.nnames[npos_safe[nation_ok]]
-            from q_digest_ray.functions.fixedpoint import scaled_int64
-
-            prices = batch["o_totalprice"].to_numpy()[present][nation_ok]
-            df = pd.DataFrame(
-                {
-                    "n_name": names,
-                    "p100": scaled_int64(prices, 2),  # exact cents (fixedpoint.py)
-                }
-            )
-            return df.groupby("n_name", sort=False, as_index=False).agg(
-                s=("p100", "sum"), c=("p100", "size")
-            )
+        prices = batch["o_totalprice"].to_numpy()[present][nation_ok]
+        df = pd.DataFrame(
+            {
+                "n_name": names,
+                "p100": scaled_int64(prices, 2),  # exact cents (fixedpoint.py)
+            }
+        )
+        return df.groupby("n_name", sort=False, as_index=False).agg(
+            s=("p100", "sum"), c=("p100", "size")
+        )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=pool_limits())
+    partials = ds.map_batches(join_agg, batch_format="pyarrow")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(s=df["s"].astype(object))  # overflow-proof cents
@@ -2768,16 +2766,14 @@ def sk_bloom_membership(sf_dir: str):
     # the driver would materialize ~8 TB at 10^12 rows (r2 VERDICT item 1).
     bloom_ref = ray.put(bloom)
 
-    class Prober:
-        def __init__(self):
-            self.bloom = ray.get(bloom_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids = batch["doc_id"]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            hits = self.bloom.contains(ids)
-            return pd.DataFrame({"n": [len(hits)], "h": [int(hits.sum())]})
+    # plain-function probe (zero-copy local ray.get; no pool spin-up)
+    def prober(batch: pa.Table) -> pd.DataFrame:
+        bloom_f = ray.get(bloom_ref)
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        hits = bloom_f.contains(ids)
+        return pd.DataFrame({"n": [len(hits)], "h": [int(hits.sum())]})
 
     n_inserted = bloom.n  # capture the scalar, not the whole filter
 
@@ -2791,9 +2787,7 @@ def sk_bloom_membership(sf_dir: str):
         )
 
     probe_ds = read_table(sf_dir, "documents", columns=["doc_id"])
-    return two_phase(
-        probe_ds, Prober, final, batch_size=None, concurrency=pool_limits()
-    ).to_pandas()
+    return two_phase(probe_ds, prober, final, batch_size=None).to_pandas()
 
 
 def customer_nation_revenue(sf_dir: str, num_buckets: int | None = None):
@@ -3231,20 +3225,16 @@ def docs_vs_lang_median(sf_dir: str):
     medians = nchars_quantiles_by_lang(sf_dir)[["lang", "p50"]]
     med_ref = ray.put(dict(zip(medians["lang"], medians["p50"])))
 
-    class Tagger:
-        def __init__(self):
-            self.med = ray.get(med_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
-            nc = batch["n_chars"].to_numpy(zero_copy_only=False)
-            thresh = lang.map(self.med).to_numpy(dtype=np.int64)
-            df = pd.DataFrame(
-                {"lang": lang, "above": (nc > thresh).astype(np.int64)}
-            )
-            return df.groupby("lang", as_index=False).agg(
-                n_above=("above", "sum"), n_docs=("above", "size")
-            )
+    # plain-function tag (zero-copy local ray.get; no pool spin-up)
+    def tagger(batch: pa.Table) -> pd.DataFrame:
+        med = ray.get(med_ref)
+        lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        thresh = lang.map(med).to_numpy(dtype=np.int64)
+        df = pd.DataFrame({"lang": lang, "above": (nc > thresh).astype(np.int64)})
+        return df.groupby("lang", as_index=False).agg(
+            n_above=("above", "sum"), n_docs=("above", "size")
+        )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(
@@ -3254,9 +3244,7 @@ def docs_vs_lang_median(sf_dir: str):
         g["n_docs"] = g["n_docs"].astype("int64")
         return g
 
-    out = two_phase(
-        ds, Tagger, final, batch_size=None, concurrency=pool_limits()
-    ).to_pandas()
+    out = two_phase(ds, tagger, final, batch_size=None).to_pandas()
     out = out.merge(medians, on="lang")
     out["p50"] = out["p50"].astype("int64")
     return (
@@ -3293,17 +3281,15 @@ def sk_decile_binning(sf_dir: str):
     cuts = np.array(sk.quantiles([i / 10 for i in range(1, 10)]), dtype=np.float64)
     cuts_ref = ray.put(cuts)
 
-    class Binner:
-        def __init__(self):
-            self.cuts = ray.get(cuts_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            nc = batch["n_chars"].to_numpy(zero_copy_only=False)
-            bins = np.searchsorted(self.cuts, nc, side="right")
-            counts = np.bincount(bins, minlength=10)
-            return pd.DataFrame(
-                {"decile": np.arange(10, dtype=np.int64), "cnt": counts.astype(np.int64)}
-            )
+    # plain-function binner (zero-copy local ray.get; no pool spin-up)
+    def binner(batch: pa.Table) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(c, nc, side="right")
+        counts = np.bincount(bins, minlength=10)
+        return pd.DataFrame(
+            {"decile": np.arange(10, dtype=np.int64), "cnt": counts.astype(np.int64)}
+        )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("decile", as_index=False).agg(cnt=("cnt", "sum"))
@@ -3311,7 +3297,7 @@ def sk_decile_binning(sf_dir: str):
         return g
 
     out = (
-        two_phase(ds, Binner, final, batch_size=None, concurrency=pool_limits())
+        two_phase(ds, binner, final, batch_size=None)
         .to_pandas()
         .sort_values("decile")
         .reset_index(drop=True)
@@ -3344,35 +3330,31 @@ def sk_unigram_logprob_quality(sf_dir: str):
     total = max(cms.n, 1)
     cms_ref = ray.put(cms)
 
-    class Scorer:
-        def __init__(self):
-            self.cms = ray.get(cms_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            flat = toks.flatten()
-            est = np.maximum(self.cms.query(flat), 1)
-            surprisal = -np.log2(est / total)
-            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            offs = offs - offs[0]
-            n_tok = offs[1:] - offs[:-1]
-            # per-doc mean surprisal (empty docs excluded from the mean)
-            ext = np.append(surprisal, 0.0)
-            doc_sum = np.add.reduceat(ext, np.minimum(offs[:-1], len(surprisal)))
-            doc_sum[n_tok == 0] = 0.0
-            lang = batch["lang"].to_numpy(zero_copy_only=False)
-            keep = n_tok > 0
-            df = pd.DataFrame(
-                {
-                    "lang": lang[keep],
-                    "s": doc_sum[keep] / n_tok[keep],
-                }
-            )
-            return df.groupby("lang", as_index=False).agg(
-                s=("s", "sum"), c=("s", "size")
-            )
+    # plain-function scorer (zero-copy local ray.get; no pool spin-up)
+    def scorer(batch: pa.Table) -> pd.DataFrame:
+        cms_model = ray.get(cms_ref)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        est = np.maximum(cms_model.query(flat), 1)
+        surprisal = -np.log2(est / total)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_tok = offs[1:] - offs[:-1]
+        # per-doc mean surprisal (empty docs excluded from the mean)
+        ext = np.append(surprisal, 0.0)
+        doc_sum = np.add.reduceat(ext, np.minimum(offs[:-1], len(surprisal)))
+        doc_sum[n_tok == 0] = 0.0
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        keep = n_tok > 0
+        df = pd.DataFrame(
+            {
+                "lang": lang[keep],
+                "s": doc_sum[keep] / n_tok[keep],
+            }
+        )
+        return df.groupby("lang", as_index=False).agg(s=("s", "sum"), c=("s", "size"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(s=("s", "sum"), c=("c", "sum"))
@@ -3380,9 +3362,7 @@ def sk_unigram_logprob_quality(sf_dir: str):
         g["n_docs"] = g["c"].astype("int64")
         return g[["lang", "mean_surprisal_bits", "n_docs"]]
 
-    out = two_phase(
-        ds, Scorer, final, batch_size=None, concurrency=pool_limits()
-    ).to_pandas()
+    out = two_phase(ds, scorer, final, batch_size=None).to_pandas()
     return out.sort_values("lang").reset_index(drop=True)
 
 
@@ -4251,21 +4231,20 @@ def zscore_outliers(sf_dir: str):
         {r["lang"]: (r["m"], r["sd"]) for _, r in stats.iterrows()}
     )
 
-    class Tagger:
-        def __init__(self):
-            self.stats = ray.get(stats_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
-            x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
-            m = lang.map({k: v[0] for k, v in self.stats.items()}).to_numpy()
-            sd = lang.map({k: v[1] for k, v in self.stats.items()}).to_numpy()
-            out = pd.DataFrame(
-                {"lang": lang, "is_out": (np.abs(x - m) / sd > 2.0).astype(np.int64)}
-            )
-            return out.groupby("lang", as_index=False).agg(
-                n_outliers=("is_out", "sum"), n_docs=("is_out", "size")
-            )
+    # plain-function broadcast lookup (no actor pool: ray.get on a local
+    # ref is zero-copy and a pool adds ~1 s spin-up — CLAUDE.md perf rule)
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        stats = ray.get(stats_ref)
+        lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = lang.map({k: v[0] for k, v in stats.items()}).to_numpy()
+        sd = lang.map({k: v[1] for k, v in stats.items()}).to_numpy()
+        out = pd.DataFrame(
+            {"lang": lang, "is_out": (np.abs(x - m) / sd > 2.0).astype(np.int64)}
+        )
+        return out.groupby("lang", as_index=False).agg(
+            n_outliers=("is_out", "sum"), n_docs=("is_out", "size")
+        )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(
@@ -4273,7 +4252,7 @@ def zscore_outliers(sf_dir: str):
         )
         return g
 
-    out = two_phase(ds, Tagger, final, batch_size=None, concurrency=pool_limits()).to_pandas()
+    out = two_phase(ds, tag, final, batch_size=None).to_pandas()
     out["n_outliers"] = out["n_outliers"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)

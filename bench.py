@@ -98,6 +98,10 @@ QUERY_NAMES = [
     "funnel_conversion",
     "embedding_centroid_norms",
     "table_profile",
+    "conversion_latency",
+    "decayed_counts",
+    "sk_hll_users_by_type",
+    "sk_profile",
 ]
 
 

@@ -4121,6 +4121,159 @@ WHERE rn = 1 ORDER BY o_orderstatus
 """
 
 
+def conversion_latency(sf_dir: str, num_buckets: int | None = None):
+    """Funnel latency: among converted users (first signup strictly before
+    first purchase), exact stats of the signup→purchase delay.  Same
+    bucketed min-ts partials as funnel_conversion; per-bucket deltas
+    reduce to (n, Σµs, min, max) so the final combine is exact integer
+    arithmetic, divided in the oracle's float op order."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    B = num_buckets or derive_buckets(ds)
+    steps = pa.array(["signup", "purchase"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=steps))
+        g = batch.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        bucket = (hash64(g["user_id"]) % np.uint64(B)).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["user_id", "event_type"], as_index=False)["ts_min"]
+            .min()
+            .pivot(index="user_id", columns="event_type", values="ts_min")
+        )
+        if "signup" not in m or "purchase" not in m:
+            return pd.DataFrame(
+                {"n": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64"),
+                 "mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        conv = m[m["signup"].notna() & m["purchase"].notna() & (m["signup"] < m["purchase"])]
+        if conv.empty:
+            return pd.DataFrame(
+                {"n": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64"),
+                 "mn": pd.Series(dtype="int64"), "mx": pd.Series(dtype="int64")}
+            )
+        d = (conv["purchase"].astype("int64") - conv["signup"].astype("int64")).to_numpy()
+        return pd.DataFrame(
+            {"n": [len(d)], "s": [int(d.sum())], "mn": [int(d.min())], "mx": [int(d.max())]}
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(df["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"n_converted": [0], "avg_delay_s": [None], "min_delay_s": [None], "max_delay_s": [None]}
+        )
+    s = exact_sum(df["s"])
+    return pd.DataFrame(
+        {
+            "n_converted": [n],
+            "avg_delay_s": [duckdb_round_double(float(s) / n / 1_000_000.0, 3)],
+            "min_delay_s": [duckdb_round_double(int(df["mn"].min()) / 1_000_000.0, 3)],
+            "max_delay_s": [duckdb_round_double(int(df["mx"].max()) / 1_000_000.0, 3)],
+        }
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT date_diff('microsecond', s, p) AS d_us FROM f
+  WHERE s IS NOT NULL AND p IS NOT NULL AND s < p
+)
+SELECT count(*) AS n_converted,
+       round(CAST(sum(d_us) AS DOUBLE) / count(*) / 1000000, 3) AS avg_delay_s,
+       round(CAST(min(d_us) AS DOUBLE) / 1000000, 3) AS min_delay_s,
+       round(CAST(max(d_us) AS DOUBLE) / 1000000, 3) AS max_delay_s
+FROM c
+"""
+
+
+_DECAY_T0 = np.datetime64("2024-02-01", "us")
+_DECAY_TAU_US = 7 * 86400 * 1_000_000  # 7-day e-folding
+
+
+def decayed_counts(sf_dir: str):
+    """Exponentially time-decayed event counts (the streaming-analytics
+    freshness weighting): each event contributes exp(−age/τ) as of a fixed
+    reference instant.  Per-batch vectorized exp + partial sums; the decayed
+    mass merges by addition like every other partial here."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        age = (
+            _DECAY_T0.astype("int64")
+            - batch["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("int64")
+        ).astype(np.float64)
+        w = np.exp(-age / _DECAY_TAU_US)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "w": w})
+        g = df.groupby("event_type", as_index=False).agg(w=("w", "sum"), n=("w", "size"))
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(w=("w", "sum"), n=("n", "sum"))
+        g["decayed_count"] = [duckdb_round_double(x, 4) for x in g["w"]]
+        g["n_events"] = g["n"].astype("int64")
+        return g[["event_type", "decayed_count", "n_events"]]
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+DECAYED_COUNTS_SQL = """
+SELECT event_type,
+       round(sum(exp(-(CAST(date_diff('microsecond', ts, TIMESTAMP '2024-02-01') AS DOUBLE))
+                     / 604800000000)), 4) AS decayed_count,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def sk_hll_users_by_type(sf_dir: str):
+    """GROUPED HLL: one distinct-users sketch per event type, merged
+    through the same grouped sketch-row shuffle as every grouped build
+    (exact twin: distinct_users_by_type)."""
+    return _sketch_stats(
+        sf_dir,
+        "events",
+        ["user_id", "event_type"],
+        [SketchSpec("users_by_type_hll", "user_id", "hll", {"p": 12}, group_by="event_type")],
+    )
+
+
+def sk_profile(sf_dir: str):
+    """Approximate table profile — the 100-TB scale path of table_profile:
+    ONE streaming build pass carries an HLL per column (exact-distinct's
+    shuffle disappears entirely) plus a KLL over the numeric column; the
+    output is the flagship's flat stats table.  Distinct estimates land
+    within HLL's ~1.04/√m error of table_profile's exact counts
+    (asserted in tests/test_round4b.py)."""
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        list(_PROFILE_COLS),
+        [
+            SketchSpec(f"{c}_hll", c, "hll", {"p": 12})
+            for c in _PROFILE_COLS
+        ]
+        + [SketchSpec("n_chars_kll", "n_chars", "kll", {"k": 200})],
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-4 third slate: windowed self-join, z-score outliers, grouped MAD,
 # first/last per key, funnel, vector centroids, table profile
@@ -4695,6 +4848,8 @@ EXACT_QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
     "embedding_centroid_norms": (embedding_centroid_norms, EMBEDDING_CENTROID_NORMS_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
+    "conversion_latency": (conversion_latency, CONVERSION_LATENCY_SQL),
+    "decayed_counts": (decayed_counts, DECAYED_COUNTS_SQL),
 }
 
 SKETCH_QUERIES = {
@@ -4728,5 +4883,7 @@ SKETCH_QUERIES = {
     "sk_unigram_logprob_quality": sk_unigram_logprob_quality,
     "sk_rank_error_by_lang": sk_rank_error_by_lang,
     "sk_source_vocab_overlap": sk_source_vocab_overlap,
+    "sk_hll_users_by_type": sk_hll_users_by_type,
+    "sk_profile": sk_profile,
     "media_features": media_features,
 }

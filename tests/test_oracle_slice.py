@@ -37,6 +37,8 @@ NAMES = [
     "funnel_conversion",
     "embedding_centroid_norms",
     "table_profile",
+    "conversion_latency",
+    "decayed_counts",
 ]
 
 

@@ -130,6 +130,40 @@ def test_table_profile_distinct_matches_pandas(ray_session):
         assert prof.loc[col, "n_rows"] == len(df)
 
 
+def test_conversion_latency_bucket_invariance(ray_session):
+    a = Q.conversion_latency(SF, num_buckets=2)
+    b = Q.conversion_latency(SF, num_buckets=16)
+    _eq(a, b)
+    if int(a["n_converted"][0]) > 0:
+        assert a["min_delay_s"][0] <= a["avg_delay_s"][0] <= a["max_delay_s"][0]
+        # converted count consistent with the funnel query
+        f = Q.funnel_conversion(SF)
+        assert int(a["n_converted"][0]) == int(f["n_converted"][0])
+
+
+def test_sk_hll_users_by_type_within_bound(ray_session):
+    """Grouped HLL distinct estimates land within 3σ of the exact grouped
+    distinct counts (σ ≈ 1.04/√m, m = 2^12)."""
+    est = Q.sk_hll_users_by_type(SF)
+    est = est[est["stat"] == "distinct_estimate"].set_index("group_key")["value"]
+    exact = Q.distinct_users_by_type(SF).set_index("event_type")["n_users"]
+    rel = 3 * 1.04 / (2**12) ** 0.5
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(rel * n, 3.0)
+
+
+def test_sk_profile_matches_exact_profile(ray_session):
+    """The one-pass sketch profile tracks table_profile's exact distinct
+    counts within the HLL bound — the scale-path equivalence claim."""
+    prof = Q.table_profile(SF).set_index("col_name")["n_distinct"]
+    sk = Q.sk_profile(SF)
+    hll = sk[sk["stat"] == "distinct_estimate"].set_index("metric")["value"]
+    rel = 3 * 1.04 / (2**12) ** 0.5
+    for col in ["doc_id", "text", "lang", "source", "n_chars"]:
+        n = int(prof[col])
+        assert abs(hll[f"{col}_hll"] - n) <= max(rel * n, 3.0)
+
+
 def test_pivot_totals_match_lang_counts(ray_session):
     """Pivot column sums must equal the global per-lang counts."""
     mat = Q.lang_source_matrix(SF)

@@ -102,7 +102,37 @@ QUERY_NAMES = [
     "decayed_counts",
     "sk_hll_users_by_type",
     "sk_profile",
+    "clickers_never_purchased",
+    "price_histogram",
 ]
+
+
+def host_speed_probe() -> float:
+    """Fixed single-thread CPU workload (seconds; LOWER = faster host).
+    This sandbox's VM speed swings 3-4x between boots (same code measured
+    404k docs/s on one boot, ~110k on another, with per-task UDF time up
+    3x for identical blocks) — the probe anchors every bench JSON to the
+    host speed it ran on so rounds stay comparable."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((600, 600))
+    x = rng.integers(0, 1 << 62, size=1_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        (a @ a).sum()
+        np.sort(x)
+        h = (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        h.sum()
+        # alloc+first-touch-write+free of a fresh 64 MB buffer: the mmap
+        # page-fault path is what actually swings between boots (measured
+        # 10x per-task inflation inside Ray workers while reused-buffer
+        # compute stayed flat) — without this term the probe reads "fast"
+        # on a boot where every plasma read crawls
+        buf = np.empty(8 << 20, np.float64)
+        buf[:] = 1.0
+        del buf
+    return round(time.perf_counter() - t0, 4)
 
 
 def run_bench() -> dict:
@@ -142,11 +172,17 @@ def run_bench() -> dict:
 
     per_query: dict[str, float] = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        # min-of-N per query: shared-VM load bursts inflate single shots
+        # 3-5x at random (BASELINE.md host quirks); the min is the engine
+        qreps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
         for name in QUERY_NAMES:
             fn = Q.EXACT_QUERIES[name][0] if name in Q.EXACT_QUERIES else Q.SKETCH_QUERIES[name]
-            t0 = time.perf_counter()
-            fn(SF_DIR)
-            per_query[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(qreps):
+                t0 = time.perf_counter()
+                fn(SF_DIR)
+                best = min(best, time.perf_counter() - t0)
+            per_query[name] = round(best, 3)
 
     ray.shutdown()
     return {
@@ -158,6 +194,7 @@ def run_bench() -> dict:
         "queries": per_query,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host_probe_sec": host_speed_probe(),
     }
 
 

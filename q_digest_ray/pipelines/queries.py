@@ -4243,6 +4243,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def clickers_never_purchased(sf_dir: str, num_buckets: int | None = None):
+    """Set DIFFERENCE across groups (SQL EXCEPT): users with at least one
+    click and no purchase ever.  Same distinct-pair bucketing as
+    users_all_types; each bucket subtracts its own purchase set."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    B = num_buckets or derive_buckets(ds)
+    wanted = pa.array(["click", "purchase"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=wanted))
+        t = batch.group_by(["event_type", "user_id"]).aggregate([])
+        bucket = (hash64(t["user_id"]) % np.uint64(B)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        clickers = set(d.loc[d["event_type"] == "click", "user_id"])
+        purchasers = set(d.loc[d["event_type"] == "purchase", "user_id"])
+        return pd.DataFrame({"n": [len(clickers - purchasers)]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_users": [int(parts["n"].sum())]})
+
+
+CLICKERS_NEVER_PURCHASED_SQL = """
+SELECT count(*) AS n_users FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+_HIST_WIDTH = 50_000.0
+
+
+def price_histogram(sf_dir: str):
+    """Equi-width histogram of order totals: per-batch vectorized binning
+    (the same IEEE floor(x/width) on both sides so bin edges agree bit for
+    bit), additive count partials."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        bins = (np.floor(x / _HIST_WIDTH) * _HIST_WIDTH).astype(np.int64)
+        df = pd.DataFrame({"bin_lo": bins})
+        return df.groupby("bin_lo", as_index=False).size().rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin_lo", as_index=False).agg(n_orders=("n", "sum"))
+        g["bin_lo"] = g["bin_lo"].astype("int64")
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    df = two_phase(ds, partial, final).to_pandas()
+    return df.sort_values("bin_lo").reset_index(drop=True)
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
+       count(*) AS n_orders
+FROM orders GROUP BY bin_lo ORDER BY bin_lo
+"""
+
+
 def sk_hll_users_by_type(sf_dir: str):
     """GROUPED HLL: one distinct-users sketch per event type, merged
     through the same grouped sketch-row shuffle as every grouped build
@@ -4850,6 +4920,8 @@ EXACT_QUERIES = {
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "conversion_latency": (conversion_latency, CONVERSION_LATENCY_SQL),
     "decayed_counts": (decayed_counts, DECAYED_COUNTS_SQL),
+    "clickers_never_purchased": (clickers_never_purchased, CLICKERS_NEVER_PURCHASED_SQL),
+    "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
 }
 
 SKETCH_QUERIES = {

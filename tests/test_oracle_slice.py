@@ -39,6 +39,8 @@ NAMES = [
     "table_profile",
     "conversion_latency",
     "decayed_counts",
+    "clickers_never_purchased",
+    "price_histogram",
 ]
 
 

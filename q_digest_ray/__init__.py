@@ -18,6 +18,7 @@ from q_digest_ray.sketches.tdigest import TDigest
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
 from q_digest_ray.sketches.misra_gries import MisraGries
+from q_digest_ray.sketches.sample import SampleSketch
 
 __all__ = [
     "QDigest",
@@ -28,4 +29,5 @@ __all__ = [
     "KLL",
     "KMV",
     "MisraGries",
+    "SampleSketch",
 ]

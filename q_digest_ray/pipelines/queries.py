@@ -4328,20 +4328,15 @@ def sk_hll_users_by_type(sf_dir: str):
 def sk_profile(sf_dir: str):
     """Approximate table profile — the 100-TB scale path of table_profile:
     ONE streaming build pass carries an HLL per column (exact-distinct's
-    shuffle disappears entirely) plus a KLL over the numeric column; the
-    output is the flagship's flat stats table.  Distinct estimates land
-    within HLL's ~1.04/√m error of table_profile's exact counts
-    (asserted in tests/test_round4b.py)."""
-    return _sketch_stats(
-        sf_dir,
-        "documents",
-        list(_PROFILE_COLS),
-        [
-            SketchSpec(f"{c}_hll", c, "hll", {"p": 12})
-            for c in _PROFILE_COLS
-        ]
-        + [SketchSpec("n_chars_kll", "n_chars", "kll", {"k": 200})],
-    )
+    shuffle disappears entirely) plus a KLL per numeric column; the
+    output is the flagship's flat stats table.  Thin wrapper over
+    ``stages/profile.sketch_profile``; distinct estimates land within
+    HLL's ~1.04/√m error of table_profile's exact counts (asserted in
+    tests/test_round4b.py)."""
+    from q_digest_ray.stages.profile import sketch_profile
+
+    ds = read_table(sf_dir, "documents", columns=list(_PROFILE_COLS))
+    return sketch_profile(ds, list(_PROFILE_COLS))
 
 
 # ---------------------------------------------------------------------------
@@ -4729,123 +4724,17 @@ _PROFILE_NUMERIC = {"doc_id", "n_chars"}
 def table_profile(sf_dir: str, num_buckets: int | None = None):
     """SUMMARIZE-style whole-table profile of documents: per column —
     rows, nulls, EXACT distinct count, min/max (as strings), mean for
-    numerics.  Two passes: (1) a single bucketed distinct pass carrying
-    (col, h1, h2) 128-bit value keys for ALL columns through one shuffle
-    (volume = distinct values per batch, never row payloads); (2) a
-    two-phase min/max/null/sum pass whose partials are 5 tiny rows per
-    block.  The per-column results assemble on the driver (15-row output).
+    numerics.  Thin wrapper over the general operator
+    ``stages/profile.profile_table`` (works on any Dataset + column
+    list): one bucketed distinct pass carries 128-bit value keys for ALL
+    columns through a single shuffle (volume = distinct values per batch,
+    never row payloads), plus one two-phase min/max/null/sum pass.
     128-bit keys make 'exact' hold to ~10^18 distinct values (same
     argument as distinct_text_count)."""
-    from q_digest_ray.functions.fixedpoint import duckdb_round_double, exact_sum
+    from q_digest_ray.stages.profile import profile_table
 
     ds = read_table(sf_dir, "documents", columns=_PROFILE_COLS)
-    B = num_buckets or derive_buckets(ds)
-
-    def distinct_partial(batch: pa.Table) -> pa.Table:
-        cols, h1s, h2s, buckets = [], [], [], []
-        for ci, name in enumerate(_PROFILE_COLS):
-            arr = batch[name]
-            valid = pc.is_valid(arr)
-            arr = arr.filter(valid) if arr.null_count else arr
-            h1 = hash64(arr, seed=0x9E37)
-            h2 = hash64(arr, seed=0xC2B2)
-            order = np.argsort(h1, kind="stable")
-            h1, h2 = h1[order], h2[order]
-            keep = np.ones(len(h1), dtype=bool)
-            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-            h1, h2 = h1[keep], h2[keep]
-            cols.append(np.full(len(h1), ci, np.int8))
-            h1s.append(h1.view(np.int64))
-            h2s.append(h2.view(np.int64))
-            buckets.append((h1 % np.uint64(B)).astype(np.int32))
-        return pa.table(
-            {
-                "col": pa.array(np.concatenate(cols)),
-                "h1": pa.array(np.concatenate(h1s)),
-                "h2": pa.array(np.concatenate(h2s)),
-                "bucket": pa.array(np.concatenate(buckets)),
-            }
-        )
-
-    def distinct_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["col", "h1", "h2"])
-        out = d.groupby("col", as_index=False).agg(n_distinct=("h1", "size"))
-        return out
-
-    distinct = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(distinct_per_bucket, batch_format="pandas")
-        .to_pandas()
-        .groupby("col", as_index=False)
-        .agg(n_distinct=("n_distinct", "sum"))
-    )
-    n_distinct = dict(zip(distinct["col"], distinct["n_distinct"]))
-
-    def stats_partial(batch: pa.Table) -> pd.DataFrame:
-        rows = []
-        for name in _PROFILE_COLS:
-            arr = batch[name]
-            mm = pc.min_max(arr)
-            s = None
-            if name in _PROFILE_NUMERIC:
-                s = int(
-                    pc.sum(arr).as_py() or 0
-                )
-            rows.append(
-                {
-                    "col_name": name,
-                    "n_rows": batch.num_rows,
-                    "n_nulls": arr.null_count,
-                    "min_v": str(mm["min"].as_py()) if mm["min"].is_valid else None,
-                    "max_v": str(mm["max"].as_py()) if mm["max"].is_valid else None,
-                    "sum_v": s,
-                }
-            )
-        return pd.DataFrame(rows)
-
-    def stats_final(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for name, g in df.groupby("col_name"):
-            n_rows = int(g["n_rows"].sum())
-            n_nulls = int(g["n_nulls"].sum())
-            mins = g["min_v"].dropna()
-            maxs = g["max_v"].dropna()
-            if name in _PROFILE_NUMERIC:
-                # numeric min/max compare numerically, not lexically
-                min_s = str(min(int(v) for v in mins)) if len(mins) else None
-                max_s = str(max(int(v) for v in maxs)) if len(maxs) else None
-                mean = duckdb_round_double(
-                    exact_sum(g["sum_v"].dropna()) / (n_rows - n_nulls), 4
-                )
-            else:
-                min_s = mins.min() if len(mins) else None
-                max_s = maxs.max() if len(maxs) else None
-                mean = None
-            rows.append(
-                {
-                    "col_name": name,
-                    "n_rows": n_rows,
-                    "n_nulls": n_nulls,
-                    "min_s": min_s,
-                    "max_s": max_s,
-                    "mean": mean,
-                }
-            )
-        return pd.DataFrame(rows)
-
-    stats = two_phase(ds, stats_partial, stats_final).to_pandas()
-    stats["n_distinct"] = stats["col_name"].map(
-        {name: int(n_distinct.get(ci, 0)) for ci, name in enumerate(_PROFILE_COLS)}
-    )
-    stats["n_rows"] = stats["n_rows"].astype("int64")
-    stats["n_nulls"] = stats["n_nulls"].astype("int64")
-    stats["n_distinct"] = stats["n_distinct"].astype("int64")
-    return (
-        stats[["col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s", "mean"]]
-        .sort_values("col_name")
-        .reset_index(drop=True)
-    )
+    return profile_table(ds, list(_PROFILE_COLS), num_buckets=num_buckets)
 
 
 TABLE_PROFILE_SQL = "\nUNION ALL\n".join(

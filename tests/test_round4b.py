@@ -120,6 +120,30 @@ def test_weighted_quantile_cont_matches_numpy():
         assert got == pytest.approx(np.quantile(vals, q), abs=1e-12)
 
 
+def test_profile_table_generalizes_to_any_table(ray_session):
+    """The library operator profiles an arbitrary Dataset (orders), with
+    float and timestamp columns, matching pandas ground truth."""
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.sources.tables import read_table
+    from q_digest_ray.stages.profile import profile_table
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ds = read_table(SF, "orders", columns=cols)
+    prof = profile_table(ds, cols).set_index("col_name")
+    df = pq.read_table(f"{SF}/orders.parquet", columns=cols).to_pandas()
+    for c in cols:
+        assert prof.loc[c, "n_distinct"] == df[c].nunique()
+        assert prof.loc[c, "n_rows"] == len(df)
+        assert prof.loc[c, "n_nulls"] == int(df[c].isna().sum())
+    # float column: numeric min/max + mean
+    assert float(prof.loc["o_totalprice", "min_s"]) == pytest.approx(df["o_totalprice"].min())
+    assert prof.loc["o_totalprice", "mean"] == pytest.approx(df["o_totalprice"].mean(), abs=1e-3)
+    # string column: lexicographic min/max, no mean
+    assert prof.loc["o_orderpriority", "min_s"] == df["o_orderpriority"].min()
+    assert prof.loc["o_orderpriority", "mean"] is None or pd.isna(prof.loc["o_orderpriority", "mean"])
+
+
 def test_table_profile_distinct_matches_pandas(ray_session):
     import pyarrow.parquet as pq
 

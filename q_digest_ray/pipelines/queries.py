@@ -4364,6 +4364,53 @@ def sk_join_size_estimate(sf_dir: str):
     )
 
 
+def sk_skew_f2(sf_dir: str):
+    """SKEW DETECTION by second frequency moment: F₂ = Σf² of the
+    events.user_id distribution estimated as the CMS self-inner-product
+    (one map-only sketch pass), beside the exact F₂ from the usual
+    per-batch count partials.  The normalized ratio n·F₂/(Σf)² = n·F₂/n²
+    is 1.0 for a perfectly uniform key distribution and grows with skew —
+    the cheap pre-flight a pipeline runs to decide whether a key needs
+    salting (SketchSpec(salt=...)) BEFORE paying for a skewed shuffle."""
+    params = {"depth": 5, "width": 1 << 15}
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    cms = collect_sketches(
+        merge_grouped(build_sketches(ev, [SketchSpec("u", "user_id", "cms", params)]))
+    )[("u", "")]
+    f2_est = cms.inner_product(cms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["user_id"].value_counts()
+        return pa.table(
+            {"user_id": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(c=("c", "sum"))
+        f = g["c"].to_numpy()
+        return pd.DataFrame(
+            {
+                "f2_exact": [int((f.astype(object) * f.astype(object)).sum())],
+                "n_keys": [len(g)],
+            }
+        )
+
+    ex = two_phase(ev, partial, final).to_pandas()
+    f2_exact, d = int(ex["f2_exact"][0]), int(ex["n_keys"][0])
+    n = int(cms.n)
+    # D·F₂/n² = 1 for a perfectly uniform distribution, > 1 with skew
+    return pd.DataFrame(
+        {
+            "f2_est": [int(f2_est)],
+            "f2_exact": [f2_exact],
+            "skew_ratio_est": [round(d * f2_est / (n * n), 4)],
+            "skew_ratio_exact": [round(d * f2_exact / (n * n), 4)],
+            "n_events": [n],
+            "n_keys": [d],
+        }
+    )
+
+
 def sk_hll_users_by_type(sf_dir: str):
     """GROUPED HLL: one distinct-users sketch per event type, merged
     through the same grouped sketch-row shuffle as every grouped build
@@ -4898,5 +4945,6 @@ SKETCH_QUERIES = {
     "sk_hll_users_by_type": sk_hll_users_by_type,
     "sk_profile": sk_profile,
     "sk_join_size_estimate": sk_join_size_estimate,
+    "sk_skew_f2": sk_skew_f2,
     "media_features": media_features,
 }

@@ -293,3 +293,14 @@ def test_sk_join_size_estimate_quality(ray_session):
     assert est >= exact  # one-sided overcount
     n1, n2 = int(out["n_orders"][0]), int(out["n_lineitems"][0])
     assert est - exact <= math.e / (1 << 15) * n1 * n2
+
+
+def test_sk_skew_f2(ray_session):
+    """F2 self-inner-product skew probe: one-sided overcount within bound,
+    skew ratio >= ~1 (uniform baseline)."""
+    out = Q.sk_skew_f2(SF)
+    est, exact = int(out["f2_est"][0]), int(out["f2_exact"][0])
+    n = int(out["n_events"][0])
+    assert est >= exact
+    assert est - exact <= math.e / (1 << 15) * n * n
+    assert float(out["skew_ratio_exact"][0]) >= 0.99

@@ -4364,6 +4364,50 @@ def sk_join_size_estimate(sf_dir: str):
     )
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 50):
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis-Spirakis 2006, public algorithm): each doc gets priority
+    u^(1/w) with u a hash-uniform in (0,1) derived from doc_id and w the
+    doc's quality weight; the global top-k by priority IS a weighted
+    sample — and because priorities are pure functions of the row, the
+    sample is identical under ANY partitioning (no RNG state, no
+    coordination).  Per-batch top-k prune means only k candidates per
+    block reach the final combine — the training-mixture construction
+    primitive ("sample docs proportional to quality") at any scale.
+    Rows-only: the sampling distribution is the contract, asserted by a
+    statistical test in tests/test_round4b.py."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"]
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # weight: longer docs favored (stand-in for a quality score)
+        w = np.maximum(nc, 1.0)
+        h = hash64(ids, seed=0x5EED)
+        u = (h.astype(np.float64) + 0.5) / 2.0**64  # uniform in (0,1)
+        pri = np.power(u, 1.0 / w)
+        df = pd.DataFrame(
+            {
+                "doc_id": ids.to_numpy(zero_copy_only=False),
+                "lang": batch["lang"].to_pandas(),
+                "weight": w,
+                "priority": pri,
+            }
+        )
+        return df.nlargest(k, "priority")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.nlargest(k, "priority").sort_values(
+            ["priority", "doc_id"], ascending=[False, True]
+        )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["weight"] = out["weight"].round(1)
+        out["priority"] = out["priority"].round(10)
+        return out.reset_index(drop=True)
+
+    return two_phase(ds, partial, final, batch_size=None).to_pandas()
+
+
 def sk_skew_f2(sf_dir: str):
     """SKEW DETECTION by second frequency moment: F₂ = Σf² of the
     events.user_id distribution estimated as the CMS self-inner-product
@@ -4946,5 +4990,6 @@ SKETCH_QUERIES = {
     "sk_profile": sk_profile,
     "sk_join_size_estimate": sk_join_size_estimate,
     "sk_skew_f2": sk_skew_f2,
+    "weighted_sample_docs": weighted_sample_docs,
     "media_features": media_features,
 }

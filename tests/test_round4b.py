@@ -304,3 +304,37 @@ def test_sk_skew_f2(ray_session):
     assert est >= exact
     assert est - exact <= math.e / (1 << 15) * n * n
     assert float(out["skew_ratio_exact"][0]) >= 0.99
+
+
+def test_weighted_sample_partition_invariance_and_bias(ray_session, tmp_path):
+    """Efraimidis-Spirakis weighted sample: identical under any layout,
+    and heavier docs are sampled far more often than light ones."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = Q.weighted_sample_docs(SF, k=20)
+    b = Q.weighted_sample_docs(SF, k=20)
+    _eq(a, b)  # deterministic
+    assert len(a) == 20 and a["doc_id"].is_unique
+
+    # controlled corpus: 1000 docs, 100 with weight 100x the rest;
+    # heavy docs must dominate a k=100 sample
+    n = 1000
+    heavy = np.zeros(n, bool)
+    heavy[:100] = True
+    nc = np.where(heavy, 5000, 50).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(nc),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    s = Q.weighted_sample_docs(str(tmp_path), k=100)
+    frac_heavy = (s["doc_id"] < 100).mean()
+    # heavy docs are 10% of corpus but ~100x weight: expect >> 10%
+    assert frac_heavy > 0.5

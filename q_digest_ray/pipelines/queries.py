@@ -1565,6 +1565,143 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
+def dup_spans(
+    sf_dir: str, k_words: int = 5, top: int = 20, num_buckets: int | None = None
+):
+    """EXACT duplicated-span census (the word-level exact-substring-dedup
+    shape of Lee et al. 2021, also the exact n-gram decontamination
+    primitive): every k-word shingle that occurs in >= 2 distinct docs,
+    ranked by (#docs sharing it, total occurrences), global top-k.
+
+    Per batch: one RE2 edge-trim + lowercase + split, shingles formed on
+    the FLAT token array by joining K shifted slices with a doc-boundary
+    mask (no per-doc loop), Arrow group_by (shingle, doc_id) for in-batch
+    partials.  A doc lives wholly inside one batch, so each (shingle,
+    doc_id) pair leaves exactly one block -> hash-bucket BY SHINGLE so a
+    shingle's global doc-set lands in one bucket -> per-bucket exact
+    n_docs/occurrences + bucket-local top-k under the SAME total order ->
+    final re-rank of B x top candidate rows (lossless pruning).
+
+    100-TB note: the exchanged rows are (shingle-string, doc_id) partials
+    — at true corpus scale ship hash64(shingle) (16 bytes) instead and
+    recover the winning shingles' text with one candidate-filtered second
+    pass; the string form is kept here because the oracle compares text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    K = k_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        empty = pa.table(
+            {
+                "shingle": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        trimmed = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+        )
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < K:
+            return empty
+        m = n - K + 1
+        offs = np.asarray(toks.offsets)
+        # start i is valid iff no doc boundary falls inside (i, i+K-1]
+        valid = np.ones(m, dtype=bool)
+        starts = offs[1:-1]
+        for j in range(1, K):
+            s = starts - j
+            s = s[(s >= 0) & (s < m)]
+            valid[s] = False
+        tokdoc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs)
+        )
+        shingle = pc.binary_join_element_wise(
+            *[flat.slice(j, m) for j in range(K)], " "
+        )
+        t = pa.table(
+            {
+                "shingle": shingle.filter(pa.array(valid)),
+                "doc_id": pa.array(tokdoc[:m][valid]),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        t = t.append_column("occ", pa.array(np.ones(len(t), np.int64)))
+        g = t.group_by(["shingle", "doc_id"]).aggregate([("occ", "sum")])
+        bucket = (hash64(g["shingle"]) % np.uint64(B)).astype(np.int32)
+        return pa.table(
+            {
+                "shingle": g["shingle"],
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "occ": g["occ_sum"].cast(pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("shingle", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "nunique"), occurrences=("occ", "sum")
+        )
+        s = s[s["n_docs"] >= 2]
+        return s.sort_values(
+            ["n_docs", "occurrences", "shingle"], ascending=[False, False, True]
+        ).head(top)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "rn": pd.Series([], dtype="int64"),
+                "shingle": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+    out = cand.sort_values(
+        ["n_docs", "occurrences", "shingle"], ascending=[False, False, True]
+    ).head(top)
+    out = out.reset_index(drop=True)
+    out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["occurrences"] = out["occurrences"].astype("int64")
+    return out[["rn", "shingle", "n_docs", "occurrences"]]
+
+
+DUP_SPANS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, array_to_string(s[i:i+4], ' ') AS shingle
+  FROM d, unnest(generate_series(1, len(s)-4)) AS t(i)
+  WHERE len(s) >= 5
+)
+SELECT rn, shingle, n_docs, occurrences FROM (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS occurrences,
+         row_number() OVER (
+           ORDER BY count(DISTINCT doc_id) DESC, count(*) DESC, shingle
+         ) AS rn
+  FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+) WHERE rn <= 20 ORDER BY rn
+"""
+
+
 def stratified_sample(sf_dir: str, n_per_group: int = 10):
     """Deterministic stratified sampling (the eval-set / inspection-set
     draw): n docs per lang under a seedable pseudo-random order that is
@@ -4918,6 +5055,7 @@ EXACT_QUERIES = {
     "props_value_by_type": (props_value_by_type, PROPS_VALUE_BY_TYPE_SQL),
     "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
+    "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

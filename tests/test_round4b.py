@@ -338,3 +338,39 @@ def test_weighted_sample_partition_invariance_and_bias(ray_session, tmp_path):
     frac_heavy = (s["doc_id"] < 100).mean()
     # heavy docs are 10% of corpus but ~100x weight: expect >> 10%
     assert frac_heavy > 0.5
+
+
+def test_dup_spans_planted_and_bucket_invariance(ray_session, tmp_path):
+    """Planted duplicated 5-word span must surface with exact counts;
+    result independent of bucket count; non-duplicated spans excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "the quick brown fox jumps"
+    docs = [
+        f"alpha {span} beta gamma",        # doc 0: 1 occurrence
+        f"{span} and {span} again",        # doc 1: 2 occurrences
+        "completely unrelated text here",  # doc 2: none
+        f"tail words then {span}",         # doc 3: 1 occurrence
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.dup_spans(str(tmp_path), num_buckets=2)
+    row = out[out["shingle"] == span]
+    assert len(row) == 1
+    assert int(row["n_docs"].iloc[0]) == 3
+    assert int(row["occurrences"].iloc[0]) == 4
+    # spans occurring in only one doc never appear
+    assert (out["n_docs"] >= 2).all()
+
+    a = Q.dup_spans(SF, num_buckets=3)
+    b = Q.dup_spans(SF, num_buckets=17)
+    _eq(a, b)

@@ -1702,6 +1702,104 @@ SELECT rn, shingle, n_docs, occurrences FROM (
 """
 
 
+def sequence_pack_stats(
+    sf_dir: str, context_len: int = 512, num_buckets: int = 8
+):
+    """SEQUENCE PACKING audit (the GPT-style concat-and-chunk step every
+    training pipeline runs): docs are concatenated token-stream-wise in
+    doc_id order within ``doc_id % B`` packing streams and cut every
+    ``context_len`` tokens; reports sequences produced, docs crossing a
+    sequence boundary, tail waste, and fill ratio.
+
+    B is part of the CONTRACT (each bucket is one independent packing
+    stream = one output shard at scale), so it is pinned — not derived
+    from input size — and the oracle replicates it.  The exchange ships
+    (bucket, doc_id, token_count) triples (~20 B/doc); per-stream packing
+    is one vectorized cumsum over the doc_id-sorted counts.  Token count
+    definition shares token_totals' tokenizer (`\\S+` runs)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    L, B = context_len, num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(
+            pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64()), 0
+        )
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((did % B).astype(np.int32)),
+                "doc_id": pa.array(did.astype(np.int64)),
+                "t": t,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        t = g["t"].to_numpy(dtype=np.int64)
+        end = np.cumsum(t)
+        start = end - t
+        tot = int(end[-1]) if len(end) else 0
+        seqs = (tot + L - 1) // L
+        crossing = int(np.sum((t > 0) & (start // L != (end - 1) // L)))
+        return pd.DataFrame(
+            {
+                "nd": [np.int64(len(g))],
+                "tot": [np.int64(tot)],
+                "seqs": [np.int64(seqs)],
+                "crossing": [np.int64(crossing)],
+            }
+        )
+
+    b = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    tot, seqs = int(b["tot"].sum()), int(b["seqs"].sum())
+    return pd.DataFrame(
+        {
+            "context_len": pd.Series([L], dtype="int64"),
+            "n_docs": pd.Series([int(b["nd"].sum())], dtype="int64"),
+            "total_tokens": pd.Series([tot], dtype="int64"),
+            "n_sequences": pd.Series([seqs], dtype="int64"),
+            "crossing_docs": pd.Series([int(b["crossing"].sum())], dtype="int64"),
+            "tail_waste": pd.Series([seqs * L - tot], dtype="int64"),
+            "avg_fill": [round(tot / (seqs * L), 6) if seqs else 0.0],
+        }
+    )
+
+
+SEQUENCE_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS t
+  FROM documents
+), pos AS (
+  SELECT bucket, t,
+         sum(t) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS endpos
+  FROM toks
+), b AS (
+  SELECT bucket, count(*) AS nd, sum(t) AS tot,
+         (sum(t) + 511) // 512 AS seqs,
+         sum(CASE WHEN t > 0 AND (endpos - t) // 512 <> (endpos - 1) // 512
+                  THEN 1 ELSE 0 END) AS crossing
+  FROM pos GROUP BY bucket
+)
+SELECT CAST(512 AS BIGINT) AS context_len,
+       CAST(sum(nd) AS BIGINT) AS n_docs,
+       CAST(sum(tot) AS BIGINT) AS total_tokens,
+       CAST(sum(seqs) AS BIGINT) AS n_sequences,
+       CAST(sum(crossing) AS BIGINT) AS crossing_docs,
+       CAST(sum(seqs) * 512 - sum(tot) AS BIGINT) AS tail_waste,
+       round(CAST(sum(tot) AS DOUBLE) / (sum(seqs) * 512), 6) AS avg_fill
+FROM b
+"""
+
+
 def stratified_sample(sf_dir: str, n_per_group: int = 10):
     """Deterministic stratified sampling (the eval-set / inspection-set
     draw): n docs per lang under a seedable pseudo-random order that is
@@ -5056,6 +5154,7 @@ EXACT_QUERIES = {
     "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

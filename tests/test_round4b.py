@@ -374,3 +374,38 @@ def test_dup_spans_planted_and_bucket_invariance(ray_session, tmp_path):
     a = Q.dup_spans(SF, num_buckets=3)
     b = Q.dup_spans(SF, num_buckets=17)
     _eq(a, b)
+
+
+def test_sequence_pack_stats_planted_and_layout_invariance(ray_session, tmp_path):
+    """Hand-computed packing over 2 streams at L=4, and the result must be
+    identical whether the corpus is one parquet file or split in two."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["a b c", "a b c d e", "a b", "a"]  # 3,5,2,1 tokens
+    rows = {
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }
+    one = tmp_path / "one"
+    two = tmp_path / "two"
+    for d in (one, two):
+        d.mkdir()
+    t = pa.table(rows)
+    pq.write_table(t, str(one / "documents.parquet"))
+    (two / "documents.parquet").mkdir()
+    pq.write_table(t.slice(0, 2), str(two / "documents.parquet" / "p0.parquet"))
+    pq.write_table(t.slice(2, 2), str(two / "documents.parquet" / "p1.parquet"))
+
+    a = Q.sequence_pack_stats(str(one), context_len=4, num_buckets=2)
+    # bucket0 (even ids): t=[3,2] -> tot 5, 2 seqs, doc2 crosses; bucket1
+    # (odd): t=[5,1] -> tot 6, 2 seqs, doc1 crosses
+    assert a.iloc[0].to_dict() == {
+        "context_len": 4, "n_docs": 4, "total_tokens": 11, "n_sequences": 4,
+        "crossing_docs": 2, "tail_waste": 5, "avg_fill": 0.6875,
+    }
+    b = Q.sequence_pack_stats(str(two), context_len=4, num_buckets=2)
+    _eq(a, b)

@@ -106,6 +106,9 @@ QUERY_NAMES = [
     "price_histogram",
     "sk_join_size_estimate",
     "sk_skew_f2",
+    "weighted_sample_docs",
+    "dup_spans",
+    "sequence_pack_stats",
 ]
 
 

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "weighted_sample_docs",
     "dup_spans",
     "sequence_pack_stats",
+    "gopher_quality_flags",
 ]
 
 

@@ -2430,6 +2430,128 @@ WHERE n_chars BETWEEN 100 AND 520
 GROUP BY lang ORDER BY lang
 """
 
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "with")
+
+
+def gopher_quality_flags(sf_dir: str):
+    """The Gopher/MassiveText RULE BATTERY (Rae et al. 2021 quality
+    gates), per-lang pass counts for each rule and for the conjunction:
+    word-count window, mean-word-length window [3,10], >=80% tokens
+    containing a letter, >=2 distinct stopwords present.
+
+    Every gate is EXACT INTEGER arithmetic on both sides (nonspace >= 3*w,
+    alpha*5 >= w*4, ...) so no float rounding can diverge from the oracle.
+    One tokenization per batch; per-doc token reductions are
+    np.add.reduceat over the flat token array (empty-doc segments masked);
+    only langs x 6 count rows leave each block."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        trimmed = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+        )
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nonempty = pc.not_equal(trimmed, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        w = np.where(nonempty, w, 0)
+        nonspace = (
+            pc.utf8_length(pc.replace_substring_regex(trimmed, r"\s+", ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets)
+        counts = np.diff(offs)
+
+        def seg_sum(x: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(counts), dtype=np.int64)
+            nz = counts > 0
+            starts = offs[:-1][nz]
+            if starts.size:
+                out[nz] = np.add.reduceat(x.astype(np.int64), starts)
+            return out
+
+        alpha = seg_sum(
+            pc.match_substring_regex(flat, "[a-z]").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        sw = np.zeros(len(counts), dtype=np.int64)
+        for s in _GOPHER_STOPWORDS:
+            eq = pc.equal(flat, pa.scalar(s)).to_numpy(zero_copy_only=False)
+            sw += (seg_sum(eq) > 0).astype(np.int64)
+
+        wc_ok = (w >= 30) & (w <= 100000)
+        mwl_ok = (w > 0) & (nonspace >= 3 * w) & (nonspace <= 10 * w)
+        alpha_ok = (w > 0) & (alpha * 5 >= w * 4)
+        stop_ok = sw >= 2
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "n_docs": np.ones(len(w), dtype=np.int64),
+                "wc_pass": wc_ok.astype(np.int64),
+                "mwl_pass": mwl_ok.astype(np.int64),
+                "alpha_pass": alpha_ok.astype(np.int64),
+                "stop_pass": stop_ok.astype(np.int64),
+                "all_pass": (wc_ok & mwl_ok & alpha_ok & stop_ok).astype(
+                    np.int64
+                ),
+            }
+        )
+        return df.groupby("lang", sort=False, as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).sum()
+
+    out = two_phase(ds, partial, final).to_pandas()
+    cols = ["n_docs", "wc_pass", "mwl_pass", "alpha_pass", "stop_pass", "all_pass"]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)[["lang"] + cols]
+
+
+GOPHER_FLAGS_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS s,
+         len(regexp_replace(lower(text), '\s+', '', 'g')) AS nonspace
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), r AS (
+  SELECT lang, len(s) AS w, nonspace,
+         len(list_filter(s, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         (CASE WHEN list_contains(s, 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'a')    THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'in')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'is')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'with') THEN 1 ELSE 0 END) AS sw
+  FROM d
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN w BETWEEN 30 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS wc_pass,
+  CAST(sum(CASE WHEN w > 0 AND nonspace >= 3*w AND nonspace <= 10*w
+           THEN 1 ELSE 0 END) AS BIGINT) AS mwl_pass,
+  CAST(sum(CASE WHEN w > 0 AND alpha*5 >= w*4 THEN 1 ELSE 0 END) AS BIGINT) AS alpha_pass,
+  CAST(sum(CASE WHEN sw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS stop_pass,
+  CAST(sum(CASE WHEN w BETWEEN 30 AND 100000
+                 AND nonspace >= 3*w AND nonspace <= 10*w
+                 AND alpha*5 >= w*4 AND sw >= 2
+           THEN 1 ELSE 0 END) AS BIGINT) AS all_pass
+FROM r GROUP BY lang ORDER BY lang
+"""
+
 
 # ---------------------------------------------------------------------------
 # dedup / ANN / text-analysis queries (rows-only: non-SQL-expressible or
@@ -5155,6 +5277,7 @@ EXACT_QUERIES = {
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),
+    "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

@@ -409,3 +409,37 @@ def test_sequence_pack_stats_planted_and_layout_invariance(ray_session, tmp_path
     }
     b = Q.sequence_pack_stats(str(two), context_len=4, num_buckets=2)
     _eq(a, b)
+
+
+def test_gopher_quality_flags_planted(ray_session, tmp_path):
+    """Each rule must fail exactly the doc engineered to fail it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("the a data " + "word " * 37).strip()     # 40 toks, passes all
+    docs = [
+        base,
+        "the a short",                                  # fails wc (3 toks)
+        ("the a " + "x " * 38).strip(),                 # mean len < 3
+        ("the a " + "99999 " * 38).strip(),             # alpha frac 2/40 < .8
+        ("word " * 40).strip(),                         # only 0 stopwords
+        "",                                             # empty: fails all
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.gopher_quality_flags(str(tmp_path))
+    r = out.iloc[0]
+    assert r["n_docs"] == 6
+    assert r["wc_pass"] == 4       # docs 0,2,3,4
+    assert r["mwl_pass"] == 4      # docs 0,1,3,4 (doc2 mean 2.05, doc3 4.8)
+    assert r["alpha_pass"] == 4    # docs 0,1,2,4
+    assert r["stop_pass"] == 4     # docs 0,1,2,3
+    assert r["all_pass"] == 1      # only doc 0

@@ -3104,6 +3104,87 @@ def sk_incremental_build(sf_dir: str):
     )
 
 
+def sk_drift_monitor(sf_dir: str):
+    """DISTRIBUTION-DRIFT MONITOR (the corpus-snapshot comparison every
+    continuously-ingesting pipeline runs): events split at the midpoint
+    of the time range; ONE pass builds per-half mergeable sketches — KLL
+    over value-cents, HLL over user_id, Misra-Gries over event_type —
+    and the report is pure sketch math: p50/p90/p99 shift, distinct-user
+    change, per-type frequency-share drift.
+
+    The boundary comes from a ts-only min/max pre-pass (column-pruned; at
+    scale this is parquet footer metadata, no scan).  Sketch-native
+    monitoring is the 100-TB shape: per-half state is O(KB) regardless of
+    corpus size, halves merge associatively from any partitioning, and
+    yesterday's serialized half can be compared against today's without
+    re-scanning either corpus (see sk_incremental_build for the restore
+    path)."""
+    mm_ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def p_minmax(batch: pa.Table) -> pd.DataFrame:
+        v = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"lo": np.array([v.min()], np.int64), "hi": np.array([v.max()], np.int64)}
+        )
+
+    def f_minmax(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [df["lo"].min()], "hi": [df["hi"].max()]})
+
+    mm = two_phase(mm_ds, p_minmax, f_minmax).to_pandas()
+    mid = (int(mm["lo"].iloc[0]) + int(mm["hi"].iloc[0])) // 2
+
+    ds = read_table(
+        sf_dir, "events", columns=["ts", "value", "user_id", "event_type"]
+    )
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        tsv = batch["ts"].cast(pa.int64())
+        half = pc.if_else(
+            pc.less_equal(tsv, pa.scalar(mid, pa.int64())),
+            pa.scalar("A"),
+            pa.scalar("B"),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "half": half,
+                "value_cents": cents,
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    rows = build_sketches(
+        ds.map_batches(add_cols, batch_format="pyarrow"),
+        [
+            SketchSpec("value_kll", "value_cents", "kll", {"k": 200}, group_by="half"),
+            SketchSpec("users_hll", "user_id", "hll", {"p": 12}, group_by="half"),
+            SketchSpec("types_mg", "event_type", "mg", {"k": 64}, group_by="half"),
+        ],
+    )
+    sk = collect_sketches(merge_grouped(rows))
+    out = []
+    ka, kb = sk[("value_kll", "A")], sk[("value_kll", "B")]
+    out.append(("n_events", float(ka.n), float(kb.n), float(abs(kb.n - ka.n))))
+    for q in (0.5, 0.9, 0.99):
+        a, b = float(ka.quantile(q)), float(kb.quantile(q))
+        out.append((f"value_p{int(q * 100)}_cents", a, b, abs(b - a)))
+    ha, hb = sk[("users_hll", "A")], sk[("users_hll", "B")]
+    ea, eb = ha.estimate(), hb.estimate()
+    out.append(("distinct_users", round(ea, 1), round(eb, 1), round(abs(eb - ea), 1)))
+    ma, mb = sk[("types_mg", "A")], sk[("types_mg", "B")]
+    keys = sorted(
+        {k for k, _ in ma.heavy_hitters()} | {k for k, _ in mb.heavy_hitters()}
+    )
+    for key in keys:
+        sa = ma.estimate(key) / max(ma.n, 1)
+        sb = mb.estimate(key) / max(mb.n, 1)
+        out.append((f"share_{key}", round(sa, 6), round(sb, 6), round(abs(sb - sa), 6)))
+    return pd.DataFrame(out, columns=["metric", "half_a", "half_b", "drift"])
+
+
 def sk_bloom_membership(sf_dir: str):
     """Bloom over doc_ids of source='src1'; probe all doc_ids."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
@@ -5351,5 +5432,6 @@ SKETCH_QUERIES = {
     "sk_join_size_estimate": sk_join_size_estimate,
     "sk_skew_f2": sk_skew_f2,
     "weighted_sample_docs": weighted_sample_docs,
+    "sk_drift_monitor": sk_drift_monitor,
     "media_features": media_features,
 }

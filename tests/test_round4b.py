@@ -443,3 +443,47 @@ def test_gopher_quality_flags_planted(ray_session, tmp_path):
     assert r["alpha_pass"] == 4    # docs 0,1,2,4
     assert r["stop_pass"] == 4     # docs 0,1,2,3
     assert r["all_pass"] == 1      # only doc 0
+
+
+def test_sk_drift_monitor_bounds(ray_session):
+    """Per-half counts and MG shares are exact vs DuckDB (type cardinality
+    << k); HLL within 3-sigma; KLL quantiles within rank-error band."""
+    import duckdb
+
+    out = Q.sk_drift_monitor(SF).set_index("metric")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    halves = con.execute("""
+WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))//2 AS mid FROM events)
+SELECT CASE WHEN epoch_us(ts) <= (SELECT mid FROM mm) THEN 'A' ELSE 'B' END AS half,
+       count(*) AS n, count(DISTINCT user_id) AS du
+FROM events GROUP BY 1 ORDER BY 1""").df().set_index("half")
+    assert out.loc["n_events", "half_a"] == halves.loc["A", "n"]
+    assert out.loc["n_events", "half_b"] == halves.loc["B", "n"]
+    for col, h in (("half_a", "A"), ("half_b", "B")):
+        est, exact = out.loc["distinct_users", col], halves.loc[h, "du"]
+        assert abs(est - exact) <= 3 * 1.04 / (2 ** 6) * exact + 1  # p=12
+    # MG with cardinality << k is exact; share rows match to rounding
+    exact = con.execute("""
+WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))//2 AS mid FROM events),
+h AS (SELECT event_type, CASE WHEN epoch_us(ts) <= (SELECT mid FROM mm)
+      THEN 'A' ELSE 'B' END AS half FROM events)
+SELECT event_type, half, count(*) AS c FROM h GROUP BY 1, 2""").df()
+    tot = exact.groupby("half")["c"].sum().to_dict()
+    for _, r in exact.iterrows():
+        got = out.loc[f"share_{r['event_type']}",
+                      "half_a" if r["half"] == "A" else "half_b"]
+        assert abs(got - r["c"] / tot[r["half"]]) < 1e-5
+    # KLL quantile rank check: reported pXX sits within +-3% true rank
+    for q, name in ((0.5, "value_p50_cents"), (0.9, "value_p90_cents")):
+        for col, h in (("half_a", "A"), ("half_b", "B")):
+            est = out.loc[name, col]
+            rank = con.execute(f"""
+WITH mm AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))//2 AS mid FROM events),
+h AS (SELECT round(value*100) AS v FROM events
+      WHERE (CASE WHEN epoch_us(ts) <= (SELECT mid FROM mm)
+             THEN 'A' ELSE 'B' END) = '{h}')
+SELECT avg(CASE WHEN v <= {est} THEN 1.0 ELSE 0.0 END) FROM h""").fetchone()[0]
+            assert abs(rank - q) <= 0.03, (name, h, rank)

@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "dup_spans",
     "sequence_pack_stats",
     "gopher_quality_flags",
+    "sk_drift_monitor",
 ]
 
 

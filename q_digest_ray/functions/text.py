@@ -185,3 +185,72 @@ def winnow_fingerprints(
     bounds = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=bounds[1:])
     return [vals[bounds[d] : bounds[d + 1]] for d in range(n)]
+
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "with")
+
+
+def gopher_rule_flags(
+    texts: pa.Array | pa.ChunkedArray,
+    min_words: int = 30,
+    max_words: int = 100_000,
+) -> pd.DataFrame:
+    """Per-doc Gopher/MassiveText quality-gate booleans (Rae et al. 2021):
+    ``wc_ok`` (word-count window), ``mwl_ok`` (mean word length in [3,10]),
+    ``alpha_ok`` (>=80% of tokens contain a letter), ``stop_ok`` (>=2
+    distinct stopwords), ``all_ok`` (conjunction).
+
+    Every gate is exact integer arithmetic (nonspace >= 3*w, alpha*5 >=
+    w*4, ...) so results are bit-stable across platforms and identical to
+    a SQL replica.  Vectorized: one tokenization; per-doc token
+    reductions via np.add.reduceat on the flat token array with
+    empty-doc segments masked.  Null texts fail every gate."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), r"^\s+|\s+$", ""
+    )
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nonempty = pc.not_equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
+    w = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    w = np.where(nonempty, w, 0)
+    nonspace = (
+        pc.utf8_length(pc.replace_substring_regex(trimmed, r"\s+", ""))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = toks.flatten()
+    offs = np.asarray(toks.offsets)
+    counts = np.diff(offs)
+
+    def seg_sum(x: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(counts), dtype=np.int64)
+        nz = counts > 0
+        starts = offs[:-1][nz]
+        if starts.size:
+            out[nz] = np.add.reduceat(x.astype(np.int64), starts)
+        return out
+
+    alpha = seg_sum(
+        pc.match_substring_regex(flat, "[a-z]").to_numpy(zero_copy_only=False)
+    )
+    sw = np.zeros(len(counts), dtype=np.int64)
+    for s in GOPHER_STOPWORDS:
+        eq = pc.equal(flat, pa.scalar(s)).to_numpy(zero_copy_only=False)
+        sw += (seg_sum(eq) > 0).astype(np.int64)
+
+    wc_ok = (w >= min_words) & (w <= max_words)
+    mwl_ok = (w > 0) & (nonspace >= 3 * w) & (nonspace <= 10 * w)
+    alpha_ok = (w > 0) & (alpha * 5 >= w * 4)
+    stop_ok = sw >= 2
+    return pd.DataFrame(
+        {
+            "wc_ok": wc_ok,
+            "mwl_ok": mwl_ok,
+            "alpha_ok": alpha_ok,
+            "stop_ok": stop_ok,
+            "all_ok": wc_ok & mwl_ok & alpha_ok & stop_ok,
+        }
+    )

@@ -2430,9 +2430,6 @@ WHERE n_chars BETWEEN 100 AND 520
 GROUP BY lang ORDER BY lang
 """
 
-_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "with")
-
-
 def gopher_quality_flags(sf_dir: str):
     """The Gopher/MassiveText RULE BATTERY (Rae et al. 2021 quality
     gates), per-lang pass counts for each rule and for the conjunction:
@@ -2447,64 +2444,21 @@ def gopher_quality_flags(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.text import gopher_rule_flags
+
         batch = batch.filter(
             pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
         )
-        trimmed = pc.replace_substring_regex(
-            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
-        )
-        toks = pc.split_pattern_regex(trimmed, r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        nonempty = pc.not_equal(trimmed, pa.scalar("")).to_numpy(
-            zero_copy_only=False
-        )
-        w = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        w = np.where(nonempty, w, 0)
-        nonspace = (
-            pc.utf8_length(pc.replace_substring_regex(trimmed, r"\s+", ""))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        flat = toks.flatten()
-        offs = np.asarray(toks.offsets)
-        counts = np.diff(offs)
-
-        def seg_sum(x: np.ndarray) -> np.ndarray:
-            out = np.zeros(len(counts), dtype=np.int64)
-            nz = counts > 0
-            starts = offs[:-1][nz]
-            if starts.size:
-                out[nz] = np.add.reduceat(x.astype(np.int64), starts)
-            return out
-
-        alpha = seg_sum(
-            pc.match_substring_regex(flat, "[a-z]").to_numpy(
-                zero_copy_only=False
-            )
-        )
-        sw = np.zeros(len(counts), dtype=np.int64)
-        for s in _GOPHER_STOPWORDS:
-            eq = pc.equal(flat, pa.scalar(s)).to_numpy(zero_copy_only=False)
-            sw += (seg_sum(eq) > 0).astype(np.int64)
-
-        wc_ok = (w >= 30) & (w <= 100000)
-        mwl_ok = (w > 0) & (nonspace >= 3 * w) & (nonspace <= 10 * w)
-        alpha_ok = (w > 0) & (alpha * 5 >= w * 4)
-        stop_ok = sw >= 2
+        flags = gopher_rule_flags(batch["text"])
         df = pd.DataFrame(
             {
                 "lang": batch["lang"].to_pandas(),
-                "n_docs": np.ones(len(w), dtype=np.int64),
-                "wc_pass": wc_ok.astype(np.int64),
-                "mwl_pass": mwl_ok.astype(np.int64),
-                "alpha_pass": alpha_ok.astype(np.int64),
-                "stop_pass": stop_ok.astype(np.int64),
-                "all_pass": (wc_ok & mwl_ok & alpha_ok & stop_ok).astype(
-                    np.int64
-                ),
+                "n_docs": np.ones(len(flags), dtype=np.int64),
+                "wc_pass": flags["wc_ok"].to_numpy().astype(np.int64),
+                "mwl_pass": flags["mwl_ok"].to_numpy().astype(np.int64),
+                "alpha_pass": flags["alpha_ok"].to_numpy().astype(np.int64),
+                "stop_pass": flags["stop_ok"].to_numpy().astype(np.int64),
+                "all_pass": flags["all_ok"].to_numpy().astype(np.int64),
             }
         )
         return df.groupby("lang", sort=False, as_index=False).sum()

@@ -487,3 +487,28 @@ h AS (SELECT round(value*100) AS v FROM events
              THEN 'A' ELSE 'B' END) = '{h}')
 SELECT avg(CASE WHEN v <= {est} THEN 1.0 ELSE 0.0 END) FROM h""").fetchone()[0]
             assert abs(rank - q) <= 0.03, (name, h, rank)
+
+
+def test_dup_spans_empty_and_weighted_sample_small_corpus(ray_session, tmp_path):
+    """No duplicated span -> empty frame with stable schema; weighted
+    sample with k > corpus returns every doc exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = ["one two three four five six", "alpha beta gamma delta epsilon zeta"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.dup_spans(str(tmp_path), num_buckets=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["rn", "shingle", "n_docs", "occurrences"]
+
+    s = Q.weighted_sample_docs(str(tmp_path), k=50)
+    assert len(s) == 2 and s["doc_id"].is_unique

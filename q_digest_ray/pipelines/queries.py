@@ -1750,6 +1750,8 @@ def sequence_pack_stats(
             }
         )
 
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
     b = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
@@ -1765,7 +1767,9 @@ def sequence_pack_stats(
             "n_sequences": pd.Series([seqs], dtype="int64"),
             "crossing_docs": pd.Series([int(b["crossing"].sum())], dtype="int64"),
             "tail_waste": pd.Series([seqs * L - tot], dtype="int64"),
-            "avg_fill": [round(tot / (seqs * L), 6) if seqs else 0.0],
+            "avg_fill": [
+                duckdb_round_double(tot / (seqs * L), 6) if seqs else 0.0
+            ],
         }
     )
 

@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "sequence_pack_stats",
     "gopher_quality_flags",
     "sk_drift_monitor",
+    "mixture_weights",
 ]
 
 

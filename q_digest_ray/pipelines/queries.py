@@ -2434,6 +2434,61 @@ WHERE n_chars BETWEEN 100 AND 520
 GROUP BY lang ORDER BY lang
 """
 
+def mixture_weights(sf_dir: str):
+    """TRAINING-MIXTURE REWEIGHTING (the domain-balance step before
+    sampling a corpus into a training mix): per-lang sampling rates that
+    move the corpus toward a UNIFORM target mixture without upsampling —
+    rate_i = (target/actual_i) normalized so the scarcest domain samples
+    at 1.0, plus the expected post-sampling doc count.
+
+    The only distributed work is the tiny per-lang count (two-phase
+    partials); the weight algebra runs on k rows.  Feeds
+    weighted_sample_docs / stratified_sample, which consume rates at
+    corpus scale.  Float ops mirror the oracle's order exactly (IEEE
+    division + half-away-from-zero rounding)."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas()})
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("lang", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n_docs=("n_docs", "sum"))
+
+    out = two_phase(ds, partial, final).to_pandas().sort_values("lang")
+    n = out["n_docs"].to_numpy(dtype=np.float64)
+    tot = float(n.sum())
+    k = len(out)
+    actual = n / tot
+    raw = (1.0 / k) / actual
+    rate = raw / raw.max()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["actual_share"] = [duckdb_round_double(v, 6) for v in actual]
+    out["sample_rate"] = [duckdb_round_double(v, 6) for v in rate]
+    out["expected_docs"] = np.floor(n * rate + 0.5).astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT lang, n_docs,
+        CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS actual_share,
+        (1.0 / count(*) OVER ()) / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())
+          AS raw_rate
+      FROM s)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(actual_share, 6) AS actual_share,
+       round(raw_rate / max(raw_rate) OVER (), 6) AS sample_rate,
+       CAST(floor(n_docs * (raw_rate / max(raw_rate) OVER ()) + 0.5) AS BIGINT)
+         AS expected_docs
+FROM t ORDER BY lang
+"""
+
+
 def gopher_quality_flags(sf_dir: str):
     """The Gopher/MassiveText RULE BATTERY (Rae et al. 2021 quality
     gates), per-lang pass counts for each rule and for the conjunction:
@@ -5317,6 +5372,7 @@ EXACT_QUERIES = {
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),
     "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
+    "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

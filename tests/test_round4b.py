@@ -512,3 +512,17 @@ def test_dup_spans_empty_and_weighted_sample_small_corpus(ray_session, tmp_path)
 
     s = Q.weighted_sample_docs(str(tmp_path), k=50)
     assert len(s) == 2 and s["doc_id"].is_unique
+
+
+def test_mixture_weights_uniformizes(ray_session):
+    """Scarcest lang samples at rate 1.0; expected post-sampling counts are
+    (near-)equal across langs — the uniform-mixture contract."""
+    out = Q.mixture_weights(SF)
+    assert out["sample_rate"].max() == 1.0
+    assert (out["sample_rate"] > 0).all()
+    exp = out["expected_docs"].to_numpy()
+    assert exp.max() - exp.min() <= 1  # floor(+0.5) rounding only
+    # the lang with the fewest docs is the one sampling at 1.0
+    assert (
+        out.loc[out["sample_rate"].idxmax(), "n_docs"] == out["n_docs"].min()
+    )

@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "gopher_quality_flags",
     "sk_drift_monitor",
     "mixture_weights",
+    "compression_ratio_stats",
 ]
 
 

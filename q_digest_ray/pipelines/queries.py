@@ -2434,6 +2434,72 @@ WHERE n_chars BETWEEN 100 AND 520
 GROUP BY lang ORDER BY lang
 """
 
+def compression_ratio_stats(sf_dir: str):
+    """COMPRESSIBILITY quality signal (the CCNet/RefinedWeb-style entropy
+    filter: highly repetitive or templated text compresses far below
+    natural prose): per-lang stats of zlib_len/raw_len per doc.
+
+    Rows-only — no SQL equivalent (DuckDB has no zlib); the contract is
+    pinned by planted tests (repetitive text ratio << natural-text ratio).
+    The per-doc zlib call is a C-extension loop over the batch — the
+    Python iteration overhead is noise next to the compression kernel
+    (same trade as the multimodal codecs); everything after is
+    vectorized two-phase partials, so only langs x 5 rows leave a block.
+    Deterministic: fixed zlib level, no RNG."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        raw = [t.encode() for t in batch["text"].to_pylist()]
+        nlen = np.array([len(b) for b in raw], dtype=np.int64)
+        clen = np.array(
+            [len(zlib.compress(b, 6)) for b in raw], dtype=np.int64
+        )
+        keep = nlen > 0
+        # exact integer parts-per-million: partial sums merge order-free
+        ppm = (clen[keep] * 1_000_000 + nlen[keep] // 2) // nlen[keep]
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(batch["lang"].to_numpy(zero_copy_only=False))[
+                    keep
+                ],
+                "sum_ppm": ppm,
+                "min_ppm": ppm,
+                "max_ppm": ppm,
+            }
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("sum_ppm", "size"),
+            sum_ppm=("sum_ppm", "sum"),
+            min_ppm=("min_ppm", "min"),
+            max_ppm=("max_ppm", "max"),
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            sum_ppm=("sum_ppm", "sum"),
+            min_ppm=("min_ppm", "min"),
+            max_ppm=("max_ppm", "max"),
+        )
+
+    out = two_phase(ds, partial, final).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["mean_ratio"] = (out["sum_ppm"] / (out["n_docs"] * 1e6)).round(6)
+    out["min_ratio"] = (out["min_ppm"] / 1e6).round(6)
+    out["max_ratio"] = (out["max_ppm"] / 1e6).round(6)
+    return (
+        out.sort_values("lang")
+        .reset_index(drop=True)[
+            ["lang", "n_docs", "mean_ratio", "min_ratio", "max_ratio"]
+        ]
+    )
+
+
 def mixture_weights(sf_dir: str):
     """TRAINING-MIXTURE REWEIGHTING (the domain-balance step before
     sampling a corpus into a training mix): per-lang sampling rates that
@@ -5447,5 +5513,6 @@ SKETCH_QUERIES = {
     "sk_skew_f2": sk_skew_f2,
     "weighted_sample_docs": weighted_sample_docs,
     "sk_drift_monitor": sk_drift_monitor,
+    "compression_ratio_stats": compression_ratio_stats,
     "media_features": media_features,
 }

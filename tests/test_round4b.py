@@ -526,3 +526,35 @@ def test_mixture_weights_uniformizes(ray_session):
     assert (
         out.loc[out["sample_rate"].idxmax(), "n_docs"] == out["n_docs"].min()
     )
+
+
+def test_compression_ratio_discriminates(ray_session, tmp_path):
+    """Repetitive text must compress far below natural-looking text, and
+    the stats must be deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    natural = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=8))
+        for _ in range(60)
+    )
+    docs = [("spam spam " * 40).strip(), natural]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["rep", "nat"]),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.compression_ratio_stats(str(tmp_path)).set_index("lang")
+    assert out.loc["rep", "mean_ratio"] < 0.2 < out.loc["nat", "mean_ratio"]
+    a = Q.compression_ratio_stats(SF)
+    b = Q.compression_ratio_stats(SF)
+    _eq(a, b)
+    assert (a["min_ratio"] <= a["mean_ratio"]).all()
+    assert (a["mean_ratio"] <= a["max_ratio"]).all()

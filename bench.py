@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "sk_drift_monitor",
     "mixture_weights",
     "compression_ratio_stats",
+    "padding_waste_stats",
 ]
 
 

@@ -2434,6 +2434,152 @@ WHERE n_chars BETWEEN 100 AND 520
 GROUP BY lang ORDER BY lang
 """
 
+def padding_waste_stats(
+    sf_dir: str, batch_rows: int = 32, bucket_width: int = 64
+):
+    """DYNAMIC-BATCHING audit (the padding-efficiency op every batched
+    inference/training loader runs): compare token padding waste of
+    NAIVE batches (doc_id order, fixed ``batch_rows`` rows — each batch
+    padded to its max token length) against LENGTH-BUCKETED batches
+    (docs grouped into ``t // bucket_width`` length classes first, then
+    batched within class).
+
+    Distribution: naive batch key is ``doc_id // batch_rows`` — dense ids
+    make it a pure row function, so per-block partials (sum/max/cnt per
+    key) merge exactly in key-hash buckets; the bucketed strategy groups
+    by the ~max_len/width length classes (coarse by construction) and
+    ranks within class by doc_id — one vectorized argsort per class.
+    Only per-batch summary triples move; never token data."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    R, W = batch_rows, bucket_width
+
+    def add_t(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(
+            pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64()), 0
+        )
+        return pa.table({"doc_id": batch["doc_id"], "t": t})
+
+    base = ds.map_batches(add_t, batch_format="pyarrow")
+
+    # --- naive: key = doc_id // R; per-block partials merge exactly ---
+    NB = 32
+
+    def p_naive(batch: pa.Table) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"key": did // R, "t": t})
+        g = df.groupby("key", sort=False, as_index=False).agg(
+            s=("t", "sum"), m=("t", "max"), c=("t", "size")
+        )
+        g["bucket"] = (g["key"] % NB).astype(np.int32)
+        return g
+
+    def per_bucket_naive(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.groupby("key", as_index=False).agg(
+            s=("s", "sum"), m=("m", "max"), c=("c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_batches": [np.int64(len(k))],
+                "total": [np.int64(k["s"].sum())],
+                "padded": [np.int64((k["c"] * k["m"]).sum())],
+            }
+        )
+
+    nai = (
+        base.map_batches(p_naive, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket_naive, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # --- bucketed: length class first, rank-in-class batches ---
+    def p_class(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lb": pa.array((t // W).astype(np.int64)),
+                "doc_id": batch["doc_id"],
+                "t": batch["t"],
+            }
+        )
+
+    def per_class(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        t = g["t"].to_numpy()
+        b = np.arange(len(g)) // R
+        df = pd.DataFrame({"b": b, "t": t})
+        k = df.groupby("b", as_index=False).agg(
+            s=("t", "sum"), m=("t", "max"), c=("t", "size")
+        )
+        return pd.DataFrame(
+            {
+                "n_batches": [np.int64(len(k))],
+                "total": [np.int64(k["s"].sum())],
+                "padded": [np.int64((k["c"] * k["m"]).sum())],
+            }
+        )
+
+    buc = (
+        base.map_batches(p_class, batch_format="pyarrow")
+        .groupby("lb")
+        .map_groups(per_class, batch_format="pandas")
+        .to_pandas()
+    )
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    def summarize(name: str, df: pd.DataFrame) -> dict:
+        total, padded = int(df["total"].sum()), int(df["padded"].sum())
+        return {
+            "strategy": name,
+            "n_batches": int(df["n_batches"].sum()),
+            "total_tokens": total,
+            "padded_tokens": padded,
+            "waste_frac": duckdb_round_double(
+                (padded - total) / padded, 6
+            )
+            if padded
+            else 0.0,
+        }
+
+    out = pd.DataFrame([summarize("bucketed", buc), summarize("naive", nai)])
+    for c in ("n_batches", "total_tokens", "padded_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("strategy").reset_index(drop=True)
+
+
+PADDING_WASTE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS t
+  FROM documents
+), naive AS (
+  SELECT doc_id // 32 AS key, sum(t) AS s, max(t) AS m, count(*) AS c
+  FROM toks GROUP BY 1
+), buck AS (
+  SELECT (row_number() OVER (PARTITION BY t // 64 ORDER BY doc_id) - 1) // 32
+           AS key, t // 64 AS lb, t
+  FROM toks
+), buckagg AS (
+  SELECT lb, key, sum(t) AS s, max(t) AS m, count(*) AS c
+  FROM buck GROUP BY 1, 2
+), u AS (
+  SELECT 'naive' AS strategy, count(*) AS n_batches,
+         sum(s) AS total, sum(c * m) AS padded FROM naive
+  UNION ALL
+  SELECT 'bucketed', count(*), sum(s), sum(c * m) FROM buckagg
+)
+SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches,
+       CAST(total AS BIGINT) AS total_tokens,
+       CAST(padded AS BIGINT) AS padded_tokens,
+       round(CAST(padded - total AS DOUBLE) / padded, 6) AS waste_frac
+FROM u ORDER BY strategy
+"""
+
+
 def compression_ratio_stats(sf_dir: str):
     """COMPRESSIBILITY quality signal (the CCNet/RefinedWeb-style entropy
     filter: highly repetitive or templated text compresses far below
@@ -5439,6 +5585,7 @@ EXACT_QUERIES = {
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),
     "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
+    "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

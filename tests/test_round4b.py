@@ -558,3 +558,12 @@ def test_compression_ratio_discriminates(ray_session, tmp_path):
     _eq(a, b)
     assert (a["min_ratio"] <= a["mean_ratio"]).all()
     assert (a["mean_ratio"] <= a["max_ratio"]).all()
+
+
+def test_padding_waste_bucketing_helps(ray_session):
+    """Both strategies see the same tokens; length-bucketing strictly cuts
+    padding waste on this corpus; fractions well-formed."""
+    out = Q.padding_waste_stats(SF).set_index("strategy")
+    assert out.loc["naive", "total_tokens"] == out.loc["bucketed", "total_tokens"]
+    assert 0 <= out.loc["bucketed", "waste_frac"] < out.loc["naive", "waste_frac"] < 1
+    _eq(Q.padding_waste_stats(SF), Q.padding_waste_stats(SF))

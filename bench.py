@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "mixture_weights",
     "compression_ratio_stats",
     "padding_waste_stats",
+    "dup_spans_scalable",
 ]
 
 

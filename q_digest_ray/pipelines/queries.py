@@ -1565,6 +1565,45 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
+def _span_shingles(batch: pa.Table, K: int):
+    """(shingle strings, doc_id per shingle) for all K-word shingles of a
+    batch — ONE tokenization shared by dup_spans and dup_spans_scalable so
+    both passes agree byte-for-byte.  Returns (None, None) when the batch
+    yields no shingles."""
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    if len(batch) == 0:
+        return None, None
+    trimmed = pc.replace_substring_regex(
+        pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+    )
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    n = len(flat)
+    if n < K:
+        return None, None
+    m = n - K + 1
+    offs = np.asarray(toks.offsets)
+    valid = np.ones(m, dtype=bool)
+    starts = offs[1:-1]
+    for j in range(1, K):
+        s = starts - j
+        s = s[(s >= 0) & (s < m)]
+        valid[s] = False
+    tokdoc = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs)
+    )
+    shingle = pc.binary_join_element_wise(
+        *[flat.slice(j, m) for j in range(K)], " "
+    )
+    mask = pa.array(valid)
+    sh = shingle.filter(mask)
+    if len(sh) == 0:
+        return None, None
+    return sh, tokdoc[:m][valid]
+
+
 def dup_spans(
     sf_dir: str, k_words: int = 5, top: int = 20, num_buckets: int | None = None
 ):
@@ -1591,7 +1630,6 @@ def dup_spans(
     K = k_words
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch["text"]))
         empty = pa.table(
             {
                 "shingle": pa.array([], pa.string()),
@@ -1600,41 +1638,10 @@ def dup_spans(
                 "bucket": pa.array([], pa.int32()),
             }
         )
-        if len(batch) == 0:
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
             return empty
-        trimmed = pc.replace_substring_regex(
-            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
-        )
-        toks = pc.split_pattern_regex(trimmed, r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        n = len(flat)
-        if n < K:
-            return empty
-        m = n - K + 1
-        offs = np.asarray(toks.offsets)
-        # start i is valid iff no doc boundary falls inside (i, i+K-1]
-        valid = np.ones(m, dtype=bool)
-        starts = offs[1:-1]
-        for j in range(1, K):
-            s = starts - j
-            s = s[(s >= 0) & (s < m)]
-            valid[s] = False
-        tokdoc = np.repeat(
-            batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs)
-        )
-        shingle = pc.binary_join_element_wise(
-            *[flat.slice(j, m) for j in range(K)], " "
-        )
-        t = pa.table(
-            {
-                "shingle": shingle.filter(pa.array(valid)),
-                "doc_id": pa.array(tokdoc[:m][valid]),
-            }
-        )
-        if len(t) == 0:
-            return empty
+        t = pa.table({"shingle": sh, "doc_id": pa.array(doc)})
         t = t.append_column("occ", pa.array(np.ones(len(t), np.int64)))
         g = t.group_by(["shingle", "doc_id"]).aggregate([("occ", "sum")])
         bucket = (hash64(g["shingle"]) % np.uint64(B)).astype(np.int32)
@@ -1700,6 +1707,126 @@ SELECT rn, shingle, n_docs, occurrences FROM (
   FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
 ) WHERE rn <= 20 ORDER BY rn
 """
+
+
+def dup_spans_scalable(
+    sf_dir: str, k_words: int = 5, top: int = 20, num_buckets: int | None = None
+):
+    """The 100-TB form of ``dup_spans``, producing BYTE-IDENTICAL output:
+    pass 1 ships only (hash64(shingle), doc_id, count) — 16-byte keys
+    instead of shingle text — aggregates per hash in buckets, and keeps
+    each bucket's top candidates WITH boundary ties on (n_docs,
+    occurrences) so no true winner can be cut; pass 2 re-scans the corpus,
+    keeps only shingles whose hash is in the broadcast candidate set
+    (searchsorted membership), and re-ranks EXACTLY on the recovered
+    strings.  A hash collision can only add a spurious candidate (counts
+    are recomputed per string in pass 2), never drop a true one — a
+    colliding hash's aggregate counts dominate each of its strings', so
+    true winners always survive selection.
+
+    Same oracle as dup_spans; parity asserted in tests."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    K = k_words
+
+    def p1(batch: pa.Table) -> pd.DataFrame:
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "occ": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32"),
+                }
+            )
+        h = hash64(sh)
+        df = pd.DataFrame({"h": h.view(np.int64), "doc_id": doc})
+        g = df.groupby(["h", "doc_id"], sort=False, as_index=False).agg(
+            occ=("h", "size")
+        )
+        g["bucket"] = (
+            g["h"].to_numpy().view(np.uint64) % np.uint64(B)
+        ).astype(np.int32)
+        return g
+
+    def cand_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "nunique"), occurrences=("occ", "sum")
+        )
+        s = s[s["n_docs"] >= 2]
+        if len(s) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64")})
+        s = s.sort_values(
+            ["n_docs", "occurrences"], ascending=[False, False]
+        ).reset_index(drop=True)
+        if len(s) > top:
+            nd, oc = s.loc[top - 1, "n_docs"], s.loc[top - 1, "occurrences"]
+            # keep boundary ties: everything >= the k-th (n_docs, occ) pair
+            s = s[
+                (s["n_docs"] > nd)
+                | ((s["n_docs"] == nd) & (s["occurrences"] >= oc))
+            ]
+        return s[["h"]]
+
+    cand = (
+        ds.map_batches(p1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "rn": pd.Series([], dtype="int64"),
+            "shingle": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "occurrences": pd.Series([], dtype="int64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    cand_sorted = np.sort(cand["h"].to_numpy(dtype=np.int64))
+
+    def p2(batch: pa.Table) -> pd.DataFrame:
+        cols = {
+            "shingle": pd.Series([], dtype="object"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "occ": pd.Series([], dtype="int64"),
+        }
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
+            return pd.DataFrame(cols)
+        h = hash64(sh).view(np.int64)
+        pos = np.searchsorted(cand_sorted, h)
+        pos = np.minimum(pos, len(cand_sorted) - 1)
+        hit = cand_sorted[pos] == h
+        if not hit.any():
+            return pd.DataFrame(cols)
+        df = pd.DataFrame(
+            {
+                "shingle": np.asarray(sh.to_numpy(zero_copy_only=False))[hit],
+                "doc_id": doc[hit],
+            }
+        )
+        return df.groupby(["shingle", "doc_id"], sort=False, as_index=False).agg(
+            occ=("doc_id", "size")
+        )
+
+    rows = ds.map_batches(p2, batch_format="pyarrow").to_pandas()
+    if rows.empty:
+        return empty
+    s = rows.groupby("shingle", as_index=False, sort=False).agg(
+        n_docs=("doc_id", "nunique"), occurrences=("occ", "sum")
+    )
+    s = s[s["n_docs"] >= 2]
+    out = s.sort_values(
+        ["n_docs", "occurrences", "shingle"], ascending=[False, False, True]
+    ).head(top)
+    out = out.reset_index(drop=True)
+    out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["occurrences"] = out["occurrences"].astype("int64")
+    return out[["rn", "shingle", "n_docs", "occurrences"]]
 
 
 def sequence_pack_stats(
@@ -5586,6 +5713,7 @@ EXACT_QUERIES = {
     "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
+    "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

@@ -567,3 +567,32 @@ def test_padding_waste_bucketing_helps(ray_session):
     assert out.loc["naive", "total_tokens"] == out.loc["bucketed", "total_tokens"]
     assert 0 <= out.loc["bucketed", "waste_frac"] < out.loc["naive", "waste_frac"] < 1
     _eq(Q.padding_waste_stats(SF), Q.padding_waste_stats(SF))
+
+
+def test_dup_spans_scalable_parity(ray_session, tmp_path):
+    """The hash-form two-pass variant is byte-identical to the string-form
+    single-pass query, on the planted corpus and under any bucket count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "the quick brown fox jumps"
+    docs = [
+        f"alpha {span} beta gamma",
+        f"{span} and {span} again",
+        "completely unrelated text here",
+        f"tail words then {span}",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    _eq(Q.dup_spans(str(tmp_path), num_buckets=2),
+        Q.dup_spans_scalable(str(tmp_path), num_buckets=2))
+    _eq(Q.dup_spans(SF, num_buckets=5),
+        Q.dup_spans_scalable(SF, num_buckets=3))

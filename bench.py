@@ -115,6 +115,7 @@ QUERY_NAMES = [
     "compression_ratio_stats",
     "padding_waste_stats",
     "dup_spans_scalable",
+    "sk_sliding_quantiles",
 ]
 
 

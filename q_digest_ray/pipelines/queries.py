@@ -3386,6 +3386,61 @@ def sk_window_rollup(sf_dir: str):
     )
 
 
+def sk_sliding_quantiles(sf_dir: str, window_hours: int = 3):
+    """SLIDING-window quantiles from TUMBLING sketches (the streaming
+    sketch-algebra trick): one pass builds per-hour Q-Digests; every
+    3-hour sliding p50/p90 then comes from merging the 3 adjacent hourly
+    sketches — no re-scan, no per-window pass, O(windows x K) driver work
+    on KB-sized state.  At 100 TB the alternative is one shuffle PER
+    window offset; here every offset is a fold over the same hour row set
+    the tumbling build already produced (same property sk_window_rollup
+    uses vertically for hour->day->total).  Windows are labeled by their
+    LAST hour and only complete windows are emitted; windows slide over
+    the OBSERVED hour sequence (an hour with zero events contributes no
+    row — sparse-hour semantics)."""
+    from q_digest_ray.sketches.qdigest import QDigest
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour"), "%Y-%m-%d %H:00"
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"window": win, "value_cents": cents})
+
+    rows = build_sketches(
+        ds.map_batches(add_cols, batch_format="pyarrow"),
+        [
+            SketchSpec(
+                "slide_cents",
+                "value_cents",
+                "qdigest",
+                {"k": 64, "universe_bits": 16},
+                group_by="window",
+            )
+        ],
+    )
+    hours = {
+        win: sk for (_, win), sk in collect_sketches(merge_grouped(rows)).items()
+    }
+    keys = sorted(hours)
+    out = []
+    for i in range(window_hours - 1, len(keys)):
+        member_keys = keys[i - window_hours + 1 : i + 1]
+        acc = QDigest(k=64, universe_bits=16)
+        for k in member_keys:
+            acc.merge(hours[k])
+        out.append(
+            (keys[i], acc.quantile(0.5), acc.quantile(0.9), acc.n)
+        )
+    return pd.DataFrame(
+        out, columns=["window_end", "p50_cents", "p90_cents", "n"]
+    )
+
+
 def sk_incremental_build(sf_dir: str):
     """Incremental sketch MAINTENANCE (the daily-ingest ops pattern): build
     sketch state over the base partition, serialize it (``to_bytes`` — the
@@ -5789,5 +5844,6 @@ SKETCH_QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "sk_drift_monitor": sk_drift_monitor,
     "compression_ratio_stats": compression_ratio_stats,
+    "sk_sliding_quantiles": sk_sliding_quantiles,
     "media_features": media_features,
 }

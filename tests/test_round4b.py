@@ -596,3 +596,32 @@ def test_dup_spans_scalable_parity(ray_session, tmp_path):
         Q.dup_spans_scalable(str(tmp_path), num_buckets=2))
     _eq(Q.dup_spans(SF, num_buckets=5),
         Q.dup_spans_scalable(SF, num_buckets=3))
+
+
+def test_sk_sliding_quantiles_conservation_and_rank(ray_session):
+    """Window n equals the exact 3-hour event count (merge preserves
+    counts); sliding p50 sits within the Q-Digest rank band of the exact
+    window median."""
+    import duckdb
+
+    out = Q.sk_sliding_quantiles(SF)
+    assert len(out) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    hourly = con.execute("""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS w,
+       count(*) AS n, list(round(value*100)) AS vals
+FROM events GROUP BY 1 ORDER BY 1""").df().set_index("w")
+    keys = list(hourly.index)
+    import numpy as np
+
+    for _, r in out.iterrows():
+        i = keys.index(r["window_end"])
+        members = keys[i - 2 : i + 1]
+        assert r["n"] == int(hourly.loc[members, "n"].sum())
+        vals = np.sort(np.concatenate(hourly.loc[members, "vals"].to_list()))
+        est = r["p50_cents"]
+        rank = (vals <= est).mean()
+        assert abs(rank - 0.5) <= 16 / 64 / 2 + 0.05  # eps = log2(U)/k

@@ -118,3 +118,48 @@ def test_multimodal_plumbing(ray_session):
     # strict mode surfaces the stub explicitly
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(strict=True)(t.slice(0, 10))
+
+
+def test_gopher_rule_flags_differential_random():
+    """Differential vs a trivial per-doc pure-Python reference over random
+    corpora (hypothesis-style seeds; vectorized reduceat path vs loops)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from q_digest_ray.functions.text import GOPHER_STOPWORDS, gopher_rule_flags
+
+    rng = np.random.default_rng(1234)
+    vocab = ["the", "a", "and", "word", "x", "99", "data", "zz", "...", ""]
+    texts = []
+    for _ in range(300):
+        n = int(rng.integers(0, 60))
+        toks = [vocab[i] for i in rng.integers(0, len(vocab) - 1, size=n)]
+        pad = " " * int(rng.integers(0, 3))
+        texts.append(pad + " ".join(toks) + pad)
+    texts.append("")
+    texts.append("   ")
+    texts.append(None)
+
+    def ref_flags(text):
+        if text is None:
+            return (False,) * 5
+        toks = [t for t in text.strip().lower().split() if True]
+        # regex \s+ on trimmed text == str.split() for these inputs
+        w = len(toks)
+        nonspace = sum(len(t) for t in toks)
+        wc = 30 <= w <= 100_000
+        mwl = w > 0 and 3 * w <= nonspace <= 10 * w
+        alpha = w > 0 and 5 * sum(
+            1 for t in toks if any("a" <= c <= "z" for c in t)
+        ) >= 4 * w
+        stop = sum(1 for s in GOPHER_STOPWORDS if s in set(toks)) >= 2
+        return (wc, mwl, alpha, stop, wc and mwl and alpha and stop)
+
+    got = gopher_rule_flags(pa.array(texts, pa.string()))
+    for i, text in enumerate(texts):
+        exp = ref_flags(text)
+        row = tuple(
+            bool(got.iloc[i][c])
+            for c in ("wc_ok", "mwl_ok", "alpha_ok", "stop_ok", "all_ok")
+        )
+        assert row == exp, (i, text, row, exp)

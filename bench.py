@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "padding_waste_stats",
     "dup_spans_scalable",
     "sk_sliding_quantiles",
+    "curation_v2_stats",
 ]
 
 

@@ -2773,6 +2773,115 @@ def compression_ratio_stats(sf_dir: str):
     )
 
 
+def curation_v2_stats(sf_dir: str, num_buckets: int | None = None):
+    """COMPOSED curation funnel v2 — exact keep-first dedup x Gopher rule
+    battery in ONE exchange: per surviving (min doc_id) text, how many
+    duplicates it absorbed and whether it clears every Gopher gate,
+    rolled up per survivor lang.
+
+    One pass computes BOTH the 128-bit content key (content_key128 — the
+    shared exact-dedup scheme) and the per-doc gate conjunction
+    (functions/text.gopher_rule_flags); the single content-hash-bucketed
+    exchange then resolves global keep-first and carries the min-doc
+    member's (lang, all_ok) with it — gates are text-pure so the
+    survivor's flags equal any member's, and lang follows the min-doc
+    member exactly as the oracle's join-on-min-doc does.  Only langs x 3
+    count rows leave each bucket."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.hashing import content_key128
+        from q_digest_ray.functions.text import gopher_rule_flags
+
+        h1, h2, bucket = content_key128(batch["text"], B)
+        ok = gopher_rule_flags(batch["text"])["all_ok"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "h": h1,
+                "h2": h2,
+                "bucket": bucket,
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "lang": batch["lang"].to_pandas().to_numpy(),
+                "ok": ok.astype(np.int64),
+            }
+        )
+        df = df.sort_values("doc_id")
+        return df.groupby(["h", "h2", "bucket"], sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"),
+            lang=("lang", "first"),
+            ok=("ok", "first"),
+            members=("doc_id", "size"),
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        k = g.groupby(["h", "h2"], sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"),
+            lang=("lang", "first"),
+            ok=("ok", "first"),
+            members=("members", "sum"),
+        )
+        return k.groupby("lang", as_index=False).agg(
+            n_unique=("doc_id", "size"),
+            n_members=("members", "sum"),
+            n_pass=("ok", "sum"),
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df.groupby("lang", as_index=False).agg(
+        n_unique=("n_unique", "sum"),
+        n_members=("n_members", "sum"),
+        n_pass=("n_pass", "sum"),
+    )
+    for c in ("n_unique", "n_members", "n_pass"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+CURATION_V2_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS s,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(regexp_replace(lower(text), '\s+', '', 'g')) END AS nonspace
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, len(s) AS w, nonspace,
+         len(list_filter(s, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         (CASE WHEN list_contains(s, 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'a')    THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'in')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'is')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(s, 'with') THEN 1 ELSE 0 END) AS sw
+  FROM f
+), flags AS (
+  SELECT doc_id, lang,
+         (w BETWEEN 30 AND 100000 AND w > 0
+          AND nonspace >= 3*w AND nonspace <= 10*w
+          AND alpha*5 >= w*4 AND sw >= 2) AS all_ok
+  FROM r
+), surv AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS members
+  FROM documents GROUP BY text
+)
+SELECT fl.lang, count(*) AS n_unique,
+       CAST(sum(s.members) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN fl.all_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM surv s JOIN flags fl ON fl.doc_id = s.doc_id
+GROUP BY fl.lang ORDER BY fl.lang
+"""
+
+
 def mixture_weights(sf_dir: str):
     """TRAINING-MIXTURE REWEIGHTING (the domain-balance step before
     sampling a corpus into a training mix): per-lang sampling rates that
@@ -5769,6 +5878,7 @@ EXACT_QUERIES = {
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
+    "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

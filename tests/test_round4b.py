@@ -625,3 +625,41 @@ FROM events GROUP BY 1 ORDER BY 1""").df().set_index("w")
         est = r["p50_cents"]
         rank = (vals <= est).mean()
         assert abs(rank - 0.5) <= 16 / 64 / 2 + 0.05  # eps = log2(U)/k
+
+
+def test_curation_v2_planted_dups_and_lang_attribution(ray_session, tmp_path):
+    """Duplicates collapse to the min-doc survivor; lang and gates follow
+    the survivor; member counts absorb the dups; bucket-invariant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = ("the a data " + "word " * 37).strip()   # passes all gates
+    bad = "too short"
+    docs = [
+        (0, good, "en"), (1, good, "de"), (2, good, "de"),  # survivor doc0/en
+        (3, bad, "fr"), (4, bad, "fr"),                      # survivor doc3/fr
+        (5, "the a unique " + "tok " * 37, "zh"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array([d[2] for d in docs]),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.curation_v2_stats(str(tmp_path), num_buckets=2).set_index("lang")
+    assert "de" not in out.index            # both de docs were dups of doc0
+    assert out.loc["en", "n_unique"] == 1
+    assert out.loc["en", "n_members"] == 3  # absorbed the two de dups
+    assert out.loc["en", "n_pass"] == 1
+    assert out.loc["fr", "n_unique"] == 1
+    assert out.loc["fr", "n_members"] == 2
+    assert out.loc["fr", "n_pass"] == 0     # 'too short' fails gates
+    assert out.loc["zh", "n_pass"] == 1
+    _eq(
+        Q.curation_v2_stats(str(tmp_path), num_buckets=2).reset_index(drop=True),
+        Q.curation_v2_stats(str(tmp_path), num_buckets=7).reset_index(drop=True),
+    )

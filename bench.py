@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "dup_spans_scalable",
     "sk_sliding_quantiles",
     "curation_v2_stats",
+    "ann_pq_topk",
 ]
 
 

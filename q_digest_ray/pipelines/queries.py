@@ -3131,6 +3131,38 @@ def ann_lsh_topk(sf_dir: str):
     )
 
 
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN (stages/ann.pq_topk — the memory-compressed
+    scale path: m bytes/vector instead of 4*D floats, ADC lookup scoring,
+    exact in-batch rerank of candidates); recall vs brute force asserted
+    in tests."""
+    from q_digest_ray.stages.ann import pq_topk
+
+    emb = read_table_arrow(
+        sf_dir,
+        "embeddings",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["vec_id"], pa.scalar(0)))
+
+    # rerank=8: 80 exact-rerank candidates per batch — negligible per-block
+    # cost, and it is what recovers recall on unclustered (random) vectors
+    # where ADC distortion is worst (recall sweep in tests/test_round4b.py)
+    return pq_topk(
+        ds.map_batches(drop_query, batch_format="pyarrow"),
+        "vec_id",
+        "embedding",
+        qvec,
+        k=10,
+        rerank=8,
+    )
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF approximate top-k: coarse k-means centroids trained on a bounded
     sample, then only the nprobe nearest inverted lists are scanned — the
@@ -5955,5 +5987,6 @@ SKETCH_QUERIES = {
     "sk_drift_monitor": sk_drift_monitor,
     "compression_ratio_stats": compression_ratio_stats,
     "sk_sliding_quantiles": sk_sliding_quantiles,
+    "ann_pq_topk": ann_pq_topk,
     "media_features": media_features,
 }

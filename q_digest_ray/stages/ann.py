@@ -366,3 +366,100 @@ def ivf_index_topk(
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     ds = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(ds, id_col, vec_col, query, k=k)
+
+
+def pq_topk(
+    ds,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    num_codes: int = 64,
+    sample_size: int = 2000,
+    iters: int = 8,
+    seed: int = 31,
+    rerank: int = 4,
+) -> pd.DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, ADC form): per-subspace
+    k-means codebooks trained on a bounded strided sample (driver work is
+    sample-sized); scoring is ONE streaming pass where each subspace
+    assignment is a small matmul and the ADC score is a lookup-table
+    gather; the top ``rerank*k`` ADC candidates per batch are exact-cosine
+    reranked in-batch, so the final combine sorts true cosines.
+
+    At 100 TB the m-byte codes (vs 4*D-byte floats) would live in a
+    materialized compressed index (the build_ivf_index pattern); here
+    encoding fuses into the scan since the corpus is read once anyway —
+    the memory story (LUT + codebooks broadcast once, ~m*codes*sub floats)
+    is the same either way."""
+    q = query.astype(np.float64)
+    q = q / np.linalg.norm(q)
+
+    from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+    nb = estimate_num_blocks(ds) or 64
+    per_block = max(8, sample_size // nb)
+
+    def strided(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= per_block:
+            return batch
+        idx = np.linspace(0, n - 1, per_block).astype(np.int64)
+        return batch.take(pa.array(idx))
+
+    sample_df = (
+        ds.map_batches(strided, batch_format="pyarrow", batch_size=None)
+        .limit(sample_size)
+        .to_pandas()
+    )
+    if len(sample_df) == 0:
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
+    sample = _normalize(_matrix(pa.array(list(sample_df[vec_col]))))
+    D = sample.shape[1]
+    assert D % m == 0, f"dim {D} not divisible by m={m}"
+    sub = D // m
+    rng = np.random.default_rng(seed)
+    books: list[np.ndarray] = []
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        ks = min(num_codes, len(X))
+        C = X[rng.choice(len(X), ks, replace=False)].copy()
+        for _ in range(iters):
+            # L2 assignment via the dot-minus-half-norm identity
+            a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            for c in range(ks):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(C)
+    luts = [q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
+    half_norms = [0.5 * (C * C).sum(axis=1) for C in books]
+    state = ray.put((books, luts, half_norms, q))
+    cand = rerank * k
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        bks, lts, hns, qv = ray.get(state)
+        M = _normalize(_matrix(batch[vec_col]))
+        if M.shape[0] == 0:
+            return pd.DataFrame({id_col: [], "cos_sim": []})
+        s = np.zeros(M.shape[0], dtype=np.float64)
+        for j in range(m):
+            X = M[:, j * sub : (j + 1) * sub]
+            a = (X @ bks[j].T - hns[j]).argmax(axis=1)
+            s += lts[j][a]
+        take = min(cand, len(s))
+        top = np.argpartition(-s, take - 1)[:take]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[top]
+        cos = M[top] @ qv  # exact rerank on ADC candidates only
+        return pd.DataFrame({id_col: ids, "cos_sim": cos})
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["cos_sim", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cos_sim"] = out["cos_sim"].round(6)
+    return out

@@ -663,3 +663,17 @@ def test_curation_v2_planted_dups_and_lang_attribution(ray_session, tmp_path):
         Q.curation_v2_stats(str(tmp_path), num_buckets=2).reset_index(drop=True),
         Q.curation_v2_stats(str(tmp_path), num_buckets=7).reset_index(drop=True),
     )
+
+
+def test_ann_pq_recall_and_determinism(ray_session):
+    """PQ-ADC with exact rerank: high recall vs brute force; cosines of
+    overlapping ids are exactly the brute-force cosines (rerank is exact);
+    deterministic across runs."""
+    pq_out = Q.ann_pq_topk(SF)
+    bf = Q.ann_topk(SF).set_index("vec_id")["cos_sim"]
+    hit = [v for v in pq_out["vec_id"] if v in bf.index]
+    assert len(hit) >= 7  # recall@10 >= 0.7 on the tiny corpus
+    got = pq_out.set_index("vec_id")["cos_sim"]
+    for v in hit:
+        assert got[v] == bf[v]
+    _eq(pq_out, Q.ann_pq_topk(SF))

@@ -184,6 +184,26 @@ def run_bench() -> dict:
         run_cc_pages_flagship(CC_DIR, batch_size=None)
         headline = min(headline, time.perf_counter() - t0)
 
+    # second headline: the composed curation operator (keep-first dedup x
+    # Gopher gates, one exchange) over the SAME 500k-doc cc_pages table —
+    # evidence the text-pipeline ops run at corpus scale, not just sf0.1
+    curation_sec = None
+    if not os.environ.get("GRAFT_SKIP_CURATION"):
+        from q_digest_ray.pipelines.export import curation_v2
+        from q_digest_ray.sources.cc_pages import read_cc_pages
+
+        curation_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            curation_v2(
+                read_cc_pages(CC_DIR, columns=["url", "lang", "text"]),
+                "url",
+                "lang",
+                "text",
+            )
+            curation_sec = min(curation_sec, time.perf_counter() - t0)
+        curation_sec = round(curation_sec, 3)
+
     per_query: dict[str, float] = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         # min-of-N per query: shared-VM load bursts inflate single shots
@@ -204,6 +224,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "docs_per_sec": round(CC_ROWS / headline, 1),
+        "curation_500k_sec": curation_sec,
         "cc_rows": CC_ROWS,
         "queries": per_query,
         "sf": SF_DIR,

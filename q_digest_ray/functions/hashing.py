@@ -107,6 +107,76 @@ def _hash_var_width(
     return splitmix64(sums ^ (lengths * _SM_C1) ^ seed64)
 
 
+def _hash_words_dual(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    m2: np.uint64,
+    m2_inv: np.uint64,
+    seed2: np.uint64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both content-key polynomial families over 8-byte WORDS instead of
+    bytes: each row's bytes are scattered once into a zero-padded
+    word-aligned buffer (two byte-level passes), then every per-family
+    pass (weight cumprod, term multiply, reduceat, rebase) runs over 8x
+    fewer elements — ~6x less memory traffic than the byte-wise kernel,
+    which is what the text-heavy dedup/curation stages are bound by.
+
+    Same guarantees as the byte kernel: equal byte strings get equal
+    (h1, h2) (same words, same byte-length mix); distinct strings of equal
+    length differ in some word, and the byte length is mixed into the
+    avalanche so zero-padding cannot alias across lengths.  NOT
+    bit-compatible with ``_hash_var_width`` — only ``content_key128``
+    uses it, and content keys are never compared across hash versions.
+    Assumes a little-endian platform (as does hash64's uint64-view path)."""
+    n_rows = len(offsets) - 1
+    base = int(offsets[0])
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    words_per_row = (lengths + 7) // 8
+    woff = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(words_per_row, out=woff[1:])
+    W = int(woff[-1])
+    if W == 0:
+        z = np.full(n_rows, np.uint64(0), dtype=np.uint64)
+        return splitmix64(z), splitmix64(np.full(n_rows, seed2, dtype=np.uint64))
+    total = int(offsets[-1] - base)
+    padded = np.zeros(W * 8, dtype=np.uint8)
+    row_of_byte = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    starts_b = (offsets[:-1] - base).astype(np.int64)
+    g = np.arange(total, dtype=np.int64)
+    padded[woff[:-1][row_of_byte] * 8 + (g - starts_b[row_of_byte])] = data[
+        base : base + total
+    ]
+    words = padded.view(np.uint64) + np.uint64(1)  # +1: trailing zero words count
+    starts_w = woff[:-1]
+    empty = words_per_row == 0
+    blen = lengths.astype(np.uint64)
+    out = []
+    for mult, mult_inv, seed64 in (
+        (_POLY_R, _POLY_R_INV, np.uint64(0)),
+        (m2, m2_inv, seed2),
+    ):
+        weights = np.empty(W, dtype=np.uint64)
+        weights[0] = np.uint64(1)
+        if W > 1:
+            np.multiply.accumulate(
+                np.full(W - 1, mult, dtype=np.uint64), out=weights[1:]
+            )
+        # sentinel zero term: a trailing empty row's start == W must be a
+        # VALID reduceat index (clamping would truncate the previous row's
+        # segment — same pitfall the byte kernel documents)
+        terms_ext = np.append(words * weights, np.uint64(0))
+        sums = np.add.reduceat(terms_ext, starts_w)
+        inv_weights = np.empty(W + 1, dtype=np.uint64)
+        inv_weights[0] = np.uint64(1)
+        np.multiply.accumulate(
+            np.full(W, mult_inv, dtype=np.uint64), out=inv_weights[1:]
+        )
+        sums *= inv_weights[starts_w]
+        sums[empty] = np.uint64(0)
+        out.append(splitmix64(sums ^ (blen * _SM_C1) ^ seed64))
+    return out[0], out[1]
+
+
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Extract (data uint8, offsets int64) from a string/binary Arrow array."""
     t = arr.type
@@ -210,10 +280,40 @@ def content_key128(
     h1 and h2 come from structurally independent polynomial families
     (seed-derived multiplier, see ``_seed_multiplier``), so a silent merge
     of two distinct texts needs a genuine 128-bit collision; the bucket is
-    derived from h1 so equal texts always co-locate."""
-    h1 = hash64(values).view(np.int64)
-    h2 = hash64(values, seed=_CONTENT_KEY_SEED).view(np.int64)
+    derived from h1 so equal texts always co-locate.
+
+    For string/binary columns both families run FUSED over 8-byte words
+    (``_hash_words_dual``) — ~6x less memory traffic than two byte-wise
+    hash64 calls, which is what text-heavy dedup/curation passes are bound
+    by.  Content keys therefore do NOT equal ``hash64(text)``; they never
+    did form an external contract — only equal-text => equal-key and
+    family independence matter, both property-tested (null/empty/unicode/
+    sliced-array cases, cross-batch stability)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
     B = np.int64(num_buckets)
+    seed64 = np.uint64(_CONTENT_KEY_SEED)
+    if isinstance(values, pa.Array) and (
+        pa.types.is_string(values.type)
+        or pa.types.is_large_string(values.type)
+        or pa.types.is_binary(values.type)
+        or pa.types.is_large_binary(values.type)
+    ):
+        data, offsets = _string_buffers(values)
+        m, minv = _seed_multiplier(seed64)
+        h1, h2 = _hash_words_dual(data, offsets, m, minv, seed64)
+        if values.null_count:
+            mask = values.is_null().to_numpy(zero_copy_only=False)
+            h1 = h1.copy()
+            h2 = h2.copy()
+            h1[mask] = np.uint64(0x6E756C6C6E756C6C)
+            h2[mask] = np.uint64(0x6E756C6C6E756C6C)
+        h2 = splitmix64(h2 ^ seed64)
+        h1 = h1.view(np.int64)
+        h2 = h2.view(np.int64)
+    else:
+        h1 = hash64(values).view(np.int64)
+        h2 = hash64(values, seed=_CONTENT_KEY_SEED).view(np.int64)
     bucket = ((h1 % B + B) % B).astype(np.int32)
     return h1, h2, bucket
 

@@ -216,11 +216,6 @@ def gopher_rule_flags(
     nonempty = pc.not_equal(trimmed, pa.scalar("")).to_numpy(zero_copy_only=False)
     w = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     w = np.where(nonempty, w, 0)
-    nonspace = (
-        pc.utf8_length(pc.replace_substring_regex(trimmed, r"\s+", ""))
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
     flat = toks.flatten()
     offs = np.asarray(toks.offsets)
     counts = np.diff(offs)
@@ -233,6 +228,12 @@ def gopher_rule_flags(
             out[nz] = np.add.reduceat(x.astype(np.int64), starts)
         return out
 
+    # non-whitespace chars per doc == sum of its token lengths (the \s+
+    # split's concatenated tokens ARE the non-ws chars) — reuses the flat
+    # token array instead of a second regex-replace pass + string alloc
+    nonspace = seg_sum(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    )
     alpha = seg_sum(
         pc.match_substring_regex(flat, "[a-z]").to_numpy(zero_copy_only=False)
     )

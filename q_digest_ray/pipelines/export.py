@@ -387,3 +387,79 @@ def curate_corpus(
         "n_buckets_processed": n_buckets_processed,
         "n_buckets_skipped": len(done_buckets),
     }
+
+
+def curation_v2(
+    ds,
+    id_col: str,
+    lang_col: str,
+    text_col: str,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Composed curation funnel v2 as a LIBRARY operator over any Dataset
+    with (id, lang, text) columns: exact keep-first dedup (128-bit content
+    key, ``functions/hashing.content_key128``) x the Gopher rule battery
+    (``functions/text.gopher_rule_flags``) resolved in ONE content-hash-
+    bucketed exchange; returns per-survivor-lang (n_unique, n_members,
+    n_pass).  The id column only needs a total order (ints or strings) —
+    the survivor is the minimum id.  Benched at 500k cc_pages docs
+    (bench.py ``curation_500k``); the catalog query ``curation_v2_stats``
+    is this operator applied to the documents table."""
+    import numpy as np
+
+    from q_digest_ray.stages.partitioning import derive_buckets
+
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from q_digest_ray.functions.hashing import content_key128
+        from q_digest_ray.functions.text import gopher_rule_flags
+
+        h1, h2, bucket = content_key128(batch[text_col], B)
+        ok = gopher_rule_flags(batch[text_col])["all_ok"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "h": h1,
+                "h2": h2,
+                "bucket": bucket,
+                "_id": batch[id_col].to_numpy(zero_copy_only=False),
+                "lang": batch[lang_col].to_pandas().to_numpy(),
+                "ok": ok.astype(np.int64),
+            }
+        )
+        df = df.sort_values("_id")
+        return df.groupby(["h", "h2", "bucket"], sort=False, as_index=False).agg(
+            _id=("_id", "min"),
+            lang=("lang", "first"),
+            ok=("ok", "first"),
+            members=("_id", "size"),
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_id")
+        k = g.groupby(["h", "h2"], sort=False, as_index=False).agg(
+            _id=("_id", "min"),
+            lang=("lang", "first"),
+            ok=("ok", "first"),
+            members=("members", "sum"),
+        )
+        return k.groupby("lang", as_index=False).agg(
+            n_unique=("_id", "size"),
+            n_members=("members", "sum"),
+            n_pass=("ok", "sum"),
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df.groupby("lang", as_index=False).agg(
+        n_unique=("n_unique", "sum"),
+        n_members=("n_members", "sum"),
+        n_pass=("n_pass", "sum"),
+    )
+    for c in ("n_unique", "n_members", "n_pass"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

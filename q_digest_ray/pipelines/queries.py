@@ -2773,6 +2773,48 @@ def compression_ratio_stats(sf_dir: str):
     )
 
 
+def train_val_test_split(sf_dir: str):
+    """Deterministic TRAIN/VAL/TEST assignment (the split step of every
+    training-data pipeline): each doc routes by a pure function of doc_id
+    (the same SQL-replicable Knuth multiplicative hash stratified_sample
+    uses), 80/10/10, reported per (lang, split).  No RNG state, no
+    coordination — identical assignment on ANY partitioning and on the
+    oracle side, which is precisely what makes a split reproducible
+    across reruns of a 100-TB job."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = ((did % 1000003) * 2654435761) % 1000000007
+        b = key % 100
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "split": split})
+        return df.groupby(["lang", "split"], sort=False, as_index=False).agg(
+            n_docs=("split", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum")
+        )
+
+    out = two_phase(ds, partial, final).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+TRAIN_VAL_TEST_SQL = """
+SELECT lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       count(*) AS n_docs
+FROM (SELECT lang,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS b
+      FROM documents)
+GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 def curation_v2_stats(sf_dir: str, num_buckets: int | None = None):
     """COMPOSED curation funnel v2 — exact keep-first dedup x Gopher rule
     battery in ONE exchange: per surviving (min doc_id) text, how many
@@ -2787,61 +2829,10 @@ def curation_v2_stats(sf_dir: str, num_buckets: int | None = None):
     survivor's flags equal any member's, and lang follows the min-doc
     member exactly as the oracle's join-on-min-doc does.  Only langs x 3
     count rows leave each bucket."""
+    from q_digest_ray.pipelines.export import curation_v2
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    B = num_buckets or derive_buckets(ds)
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        from q_digest_ray.functions.hashing import content_key128
-        from q_digest_ray.functions.text import gopher_rule_flags
-
-        h1, h2, bucket = content_key128(batch["text"], B)
-        ok = gopher_rule_flags(batch["text"])["all_ok"].to_numpy()
-        df = pd.DataFrame(
-            {
-                "h": h1,
-                "h2": h2,
-                "bucket": bucket,
-                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
-                "lang": batch["lang"].to_pandas().to_numpy(),
-                "ok": ok.astype(np.int64),
-            }
-        )
-        df = df.sort_values("doc_id")
-        return df.groupby(["h", "h2", "bucket"], sort=False, as_index=False).agg(
-            doc_id=("doc_id", "min"),
-            lang=("lang", "first"),
-            ok=("ok", "first"),
-            members=("doc_id", "size"),
-        )
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        k = g.groupby(["h", "h2"], sort=False, as_index=False).agg(
-            doc_id=("doc_id", "min"),
-            lang=("lang", "first"),
-            ok=("ok", "first"),
-            members=("members", "sum"),
-        )
-        return k.groupby("lang", as_index=False).agg(
-            n_unique=("doc_id", "size"),
-            n_members=("members", "sum"),
-            n_pass=("ok", "sum"),
-        )
-
-    df = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    out = df.groupby("lang", as_index=False).agg(
-        n_unique=("n_unique", "sum"),
-        n_members=("n_members", "sum"),
-        n_pass=("n_pass", "sum"),
-    )
-    for c in ("n_unique", "n_members", "n_pass"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("lang").reset_index(drop=True)
+    return curation_v2(ds, "doc_id", "lang", "text", num_buckets=num_buckets)
 
 
 CURATION_V2_SQL = r"""
@@ -5911,6 +5902,7 @@ EXACT_QUERIES = {
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
+    "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

@@ -82,3 +82,28 @@ def test_splitmix_avalanche():
     x = np.arange(1000, dtype=np.uint64)
     y = splitmix64(x)
     assert len(np.unique(y)) == 1000
+
+
+def test_content_key128_wordwise_properties():
+    """Word-wise dual content key: equal-text => equal-key, null/empty
+    distinction, sliced-array + cross-batch stability, no padding alias,
+    family independence."""
+    import numpy as np
+    import pyarrow as pa
+
+    from q_digest_ray.functions.hashing import content_key128
+
+    arr = pa.array(["", "a", None, "hello world", "éü", "a" * 10000, "b", None, "a"])
+    h1, h2, b = content_key128(arr, 7)
+    assert h1[1] == h1[8] and h2[1] == h2[8]
+    assert h1[2] == h1[7] and h2[2] == h2[7] and h1[2] != h1[0]
+    assert len({(h1[i], h2[i]) for i in (0, 1, 3, 4, 5, 6)}) == 6
+    s = arr.slice(3, 4)
+    sh1, sh2, _ = content_key128(s, 7)
+    assert (sh1 == h1[3:7]).all() and (sh2 == h2[3:7]).all()
+    a1, a2, _ = content_key128(pa.array(["hello world", "a" * 10000]), 7)
+    assert a1[0] == h1[3] and a2[1] == h2[5]
+    assert (h1 != h2).all()
+    p1, p2, _ = content_key128(pa.array(["abc", "abc\x00", "abc\x00\x00"]), 7)
+    assert len({(p1[i], p2[i]) for i in range(3)}) == 3
+    assert (b == ((h1 % 7 + 7) % 7)).all() and b.dtype == np.int32

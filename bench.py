@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "sk_sliding_quantiles",
     "curation_v2_stats",
     "ann_pq_topk",
+    "train_val_test_split",
 ]
 
 

@@ -677,3 +677,42 @@ def test_ann_pq_recall_and_determinism(ray_session):
     for v in hit:
         assert got[v] == bf[v]
     _eq(pq_out, Q.ann_pq_topk(SF))
+
+
+def test_curation_v2_string_ids(ray_session, tmp_path):
+    """The library operator works over string ids (cc_pages shape): the
+    survivor is the lexicographic-min id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    good = ("the a data " + "word " * 37).strip()
+    t = pa.table(
+        {
+            "url": pa.array(["http://b.com/1", "http://a.com/2", "http://c.com/3"]),
+            "lang": pa.array(["en", "de", "fr"]),
+            "text": pa.array([good, good, "unique text here"]),
+        }
+    )
+    p = tmp_path / "cc.parquet"
+    pq.write_table(t, str(p))
+    from q_digest_ray.pipelines.export import curation_v2
+
+    out = curation_v2(
+        _ray.data.read_parquet(str(p)), "url", "lang", "text", num_buckets=2
+    ).set_index("lang")
+    # survivor of the dup pair is http://a.com/2 -> lang de
+    assert "en" not in out.index
+    assert out.loc["de", "n_members"] == 2 and out.loc["de", "n_pass"] == 1
+    assert out.loc["fr", "n_unique"] == 1
+
+
+def test_train_val_test_split_shares(ray_session):
+    out = Q.train_val_test_split(SF)
+    tot = out["n_docs"].sum()
+    tr = out[out["split"] == "train"]["n_docs"].sum()
+    assert 0.7 < tr / tot < 0.9
+    # every doc assigned exactly once
+    import pyarrow.parquet as pq
+
+    assert tot == pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows

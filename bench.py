@@ -193,17 +193,21 @@ def run_bench() -> dict:
         from q_digest_ray.pipelines.export import curation_v2
         from q_digest_ray.sources.cc_pages import read_cc_pages
 
-        curation_sec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            curation_v2(
-                read_cc_pages(CC_DIR, columns=["url", "lang", "text"]),
-                "url",
-                "lang",
-                "text",
-            )
-            curation_sec = min(curation_sec, time.perf_counter() - t0)
-        curation_sec = round(curation_sec, 3)
+        try:
+            curation_sec = float("inf")
+            for _ in range(int(os.environ.get("GRAFT_CURATION_REPS", "2"))):
+                t0 = time.perf_counter()
+                curation_v2(
+                    read_cc_pages(CC_DIR, columns=["url", "lang", "text"]),
+                    "url",
+                    "lang",
+                    "text",
+                )
+                curation_sec = min(curation_sec, time.perf_counter() - t0)
+            curation_sec = round(curation_sec, 3)
+        except Exception as exc:  # never let the second headline kill the JSON
+            print(f"curation_500k failed: {exc}", file=sys.stderr)
+            curation_sec = None
 
     per_query: dict[str, float] = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -5569,7 +5569,7 @@ def zscore_outliers(sf_dir: str):
     )
 
     # plain-function broadcast lookup (no actor pool: ray.get on a local
-    # ref is zero-copy and a pool adds ~1 s spin-up — CLAUDE.md perf rule)
+    # ref is zero-copy and a pool adds ~1 s spin-up — BASELINE.md §4 rule)
     def tag(batch: pa.Table) -> pd.DataFrame:
         stats = ray.get(stats_ref)
         lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))

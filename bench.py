@@ -224,7 +224,34 @@ def run_bench() -> dict:
             per_query[name] = round(best, 3)
 
     ray.shutdown()
-    return {
+
+    # alt headline at 16 cpus in a FRESH session: some boots of this shared
+    # VM anti-scale allocation-heavy Ray work beyond ~16 procs (BASELINE.md
+    # host quirks; same code measured 3-7x faster at 16 than 32 cpus on such
+    # boots), so the record always carries the host's best parallelism too
+    alt = None
+    if NUM_CPUS > 16 and not os.environ.get("GRAFT_NO_ALT"):
+        try:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS="16",
+                GRAFT_BENCH_REPS="2",
+                GRAFT_SKIP_QUERIES="1",
+                GRAFT_SKIP_CURATION="1",
+                GRAFT_NO_ALT="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            alt = json.loads(out.strip().splitlines()[-1])["value"]
+        except Exception as exc:
+            print(f"alt headline failed: {exc}", file=sys.stderr)
+
+    result = {
         "metric": "flagship cc_pages sketch-build wall time",
         "value": round(headline, 3),
         "unit": "sec",
@@ -236,6 +263,13 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "host_probe_sec": host_speed_probe(),
     }
+    if alt is not None:
+        result["value_16cpu"] = round(alt, 3)
+        result["docs_per_sec_16cpu"] = round(CC_ROWS / alt, 1)
+        result["docs_per_sec_best"] = max(
+            result["docs_per_sec"], result["docs_per_sec_16cpu"]
+        )
+    return result
 
 
 def run_scaling() -> dict:
@@ -265,6 +299,8 @@ def run_scaling() -> dict:
             GRAFT_CC_SHARDS="64",  # MUST match the parent synthesize() call
             GRAFT_BENCH_REPS="2",
             GRAFT_SKIP_QUERIES="1",
+            GRAFT_SKIP_CURATION="1",
+            GRAFT_NO_ALT="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

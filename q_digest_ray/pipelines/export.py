@@ -450,7 +450,7 @@ def curation_v2(
         )
 
     df = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()

@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "curation_v2_stats",
     "ann_pq_topk",
     "train_val_test_split",
+    "byte_pair_stats",
 ]
 
 

@@ -1829,6 +1829,72 @@ def dup_spans_scalable(
     return out[["rn", "shingle", "n_docs", "occurrences"]]
 
 
+def byte_pair_stats(sf_dir: str, top: int = 20):
+    """BYTE-PAIR statistics (the first merge-table step of byte-level BPE
+    tokenizer training, GPT-2 style): global counts of adjacent byte pairs
+    WITHIN tokens (pairs never cross token or doc boundaries), top-k.
+
+    Fully vectorized and O(1)-bounded per block: the flat token array's
+    raw UTF-8 buffer gives pair codes as ``(b[i] << 8) | b[i+1]`` with a
+    token-boundary mask; per-block exact counts come from ONE
+    ``np.bincount`` into 65,536 bins, so each block emits at most its
+    nonzero pairs and the final combine is a bounded-key sum — no shuffle
+    grows with corpus size.  Rows-only (DuckDB lacks byte slicing);
+    differential-tested against a pure-Python reference on randomized
+    unicode corpora."""
+    from q_digest_ray.functions.hashing import _string_buffers
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        empty = pd.DataFrame(
+            {
+                "pair": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        trimmed = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+        )
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        data, offs = _string_buffers(flat)
+        base, total = int(offs[0]), int(offs[-1] - offs[0])
+        if total < 2:
+            return empty
+        d = data[base : base + total]
+        code = (d[:-1].astype(np.uint16) << np.uint16(8)) | d[1:]
+        valid = np.ones(total - 1, dtype=bool)
+        starts = (offs[1:-1] - base).astype(np.int64)
+        starts = starts[(starts >= 1) & (starts <= total - 1)]
+        valid[starts - 1] = False  # pair would cross a token boundary
+        counts = np.bincount(code[valid], minlength=65536).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"pair": nz.astype(np.int64), "cnt": counts[nz]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pair", as_index=False).agg(cnt=("cnt", "sum"))
+
+    out = two_phase(ds, partial, final).to_pandas()
+    out = out.sort_values(["cnt", "pair"], ascending=[False, True]).head(top)
+    out = out.reset_index(drop=True)
+
+    def render(p: int) -> str:
+        bs = bytes([p >> 8, p & 0xFF])
+        return bs.decode("ascii") if all(32 <= b < 127 for b in bs) else bs.hex()
+
+    out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["pair_str"] = [render(int(p)) for p in out["pair"]]
+    out["pair"] = out["pair"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["rn", "pair", "pair_str", "cnt"]]
+
+
 def sequence_pack_stats(
     sf_dir: str, context_len: int = 512, num_buckets: int = 8
 ):
@@ -5980,5 +6046,6 @@ SKETCH_QUERIES = {
     "compression_ratio_stats": compression_ratio_stats,
     "sk_sliding_quantiles": sk_sliding_quantiles,
     "ann_pq_topk": ann_pq_topk,
+    "byte_pair_stats": byte_pair_stats,
     "media_features": media_features,
 }

@@ -716,3 +716,42 @@ def test_train_val_test_split_shares(ray_session):
     import pyarrow.parquet as pq
 
     assert tot == pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
+
+
+def test_byte_pair_stats_differential(ray_session, tmp_path):
+    """Randomized differential vs a pure-Python byte-pair counter,
+    including non-ASCII text (UTF-8 multibyte pairs count per byte)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(77)
+    vocab = ["data", "slow", "héllo", "日本", "a", "scan99", "x"]
+    texts = []
+    for _ in range(60):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(vocab[i] for i in rng.integers(0, len(vocab), n)))
+    texts += ["", "   "]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = Q.byte_pair_stats(str(tmp_path), top=1000)
+
+    ref = collections.Counter()
+    for text in texts:
+        for tok in text.strip().lower().split():
+            b = tok.encode()
+            for i in range(len(b) - 1):
+                ref[(b[i] << 8) | b[i + 1]] += 1
+    exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["pair"]) == [p for p, _ in exp]
+    assert list(got["cnt"]) == [c for _, c in exp]

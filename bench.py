@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "ann_pq_topk",
     "train_val_test_split",
     "byte_pair_stats",
+    "sk_quality_blend",
 ]
 
 

@@ -4349,6 +4349,96 @@ def sk_decile_binning(sf_dir: str):
     return out[["decile", "upper_cut", "cnt"]]
 
 
+def sk_quality_blend(sf_dir: str):
+    """SIGNAL FUSION for curation (the multi-signal quality score every
+    production filter ends with): two raw per-doc signals — zlib
+    compressibility (ppm) and length (n_chars) — are RANK-NORMALIZED via
+    percentile cuts from one merged KLL per signal (built in a single
+    pass, broadcast once), then blended 50/50 into a comparable [0,1]
+    score: blended = 0.5*(1 - comp_rank) + 0.5*(len_rank) — prefer
+    less-compressible (information-dense) and longer docs.
+
+    Rank normalization via sketches is THE way to fuse incommensurable
+    signals at 100 TB: no global sort per signal, one KB-sized cut array
+    each, and the second pass is searchsorted + arithmetic.  Output:
+    per-lang n_docs, mean blended score, and docs with score >= 0.5.
+    Rows-only (cuts are approximate); monotonicity and determinism
+    pinned by planted tests."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def add_signals(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["text"]), pc.is_valid(batch["lang"]))
+        )
+        raw = [t.encode() for t in batch["text"].to_pylist()]
+        nlen = np.array([max(len(b), 1) for b in raw], dtype=np.int64)
+        clen = np.array([len(zlib.compress(b, 6)) for b in raw], dtype=np.int64)
+        ppm = (clen * 1_000_000 + nlen // 2) // nlen
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "comp_ppm": pa.array(ppm),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    sig = ds.map_batches(add_signals, batch_format="pyarrow", batch_size=None)
+    rows = build_sketches(
+        sig,
+        [
+            SketchSpec("comp_kll", "comp_ppm", "kll", {"k": 200}),
+            SketchSpec("len_kll", "n_chars", "kll", {"k": 200}),
+        ],
+    )
+    sk = collect_sketches(merge_grouped(rows))
+    qs = [i / 100 for i in range(1, 100)]
+    comp_cuts = np.array(sk[("comp_kll", "")].quantiles(qs), dtype=np.float64)
+    len_cuts = np.array(sk[("len_kll", "")].quantiles(qs), dtype=np.float64)
+    cuts_ref = ray.put((comp_cuts, len_cuts))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        cc, lc = ray.get(cuts_ref)
+        comp_rank = np.searchsorted(
+            cc,
+            batch["comp_ppm"].to_numpy(zero_copy_only=False).astype(np.float64),
+            side="right",
+        ).astype(np.int64)
+        len_rank = np.searchsorted(
+            lc,
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            side="right",
+        ).astype(np.int64)
+        # exact-integer blend in units of 1/200: ranks are ints 0..100, so
+        # partial sums merge order-free (no float accumulation anywhere)
+        blended = (100 - comp_rank) + len_rank  # 0..200
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "s": blended,
+                "hi": (blended >= 100).astype(np.int64),
+            }
+        )
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("s", "size"), sum_s=("s", "sum"), n_hi=("hi", "sum")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_s=("sum_s", "sum"), n_hi=("n_hi", "sum")
+        )
+
+    out = two_phase(sig, score, final, batch_size=None).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_hi"] = out["n_hi"].astype("int64")
+    out["mean_score"] = (out["sum_s"] / (out["n_docs"] * 200.0)).round(6)
+    return (
+        out.sort_values("lang")
+        .reset_index(drop=True)[["lang", "n_docs", "mean_score", "n_hi"]]
+    )
+
+
 def sk_unigram_logprob_quality(sf_dir: str):
     """Sketch-as-MODEL scoring (the batched-inference shape): pass 1
     builds a Count-Min unigram frequency model over all tokens, pass 2
@@ -6047,5 +6137,6 @@ SKETCH_QUERIES = {
     "sk_sliding_quantiles": sk_sliding_quantiles,
     "ann_pq_topk": ann_pq_topk,
     "byte_pair_stats": byte_pair_stats,
+    "sk_quality_blend": sk_quality_blend,
     "media_features": media_features,
 }

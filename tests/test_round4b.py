@@ -755,3 +755,41 @@ def test_byte_pair_stats_differential(ray_session, tmp_path):
     exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(got["pair"]) == [p for p, _ in exp]
     assert list(got["cnt"]) == [c for _, c in exp]
+
+
+def test_sk_quality_blend_monotone_and_deterministic(ray_session, tmp_path):
+    """A long information-dense doc must outscore a short repetitive one;
+    deterministic across runs; scores in [0,1]."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    dense = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=7))
+        for _ in range(120)
+    )
+    mid = " ".join(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=5))
+        for _ in range(40)
+    )
+    docs = [("spam " * 10).strip(), mid, dense]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["rep", "mid", "dense"]),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = Q.sk_quality_blend(str(tmp_path)).set_index("lang")
+    assert out.loc["dense", "mean_score"] > out.loc["rep", "mean_score"]
+    assert out.loc["dense", "n_hi"] == 1
+
+    a = Q.sk_quality_blend(SF)
+    b = Q.sk_quality_blend(SF)
+    _eq(a, b)
+    assert ((a["mean_score"] >= 0) & (a["mean_score"] <= 1)).all()
+    assert (a["n_hi"] <= a["n_docs"]).all()

@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "train_val_test_split",
     "byte_pair_stats",
     "sk_quality_blend",
+    "sk_robust_outliers",
 ]
 
 

@@ -4439,6 +4439,73 @@ def sk_quality_blend(sf_dir: str):
     )
 
 
+def sk_robust_outliers(sf_dir: str, k_mad: float = 3.0):
+    """ROBUST outlier census via sketches (the median/MAD cousin of the
+    exact-moment ``zscore_outliers`` — means and stddevs are themselves
+    corrupted by the outliers they hunt): three cheap column passes, no
+    sort — (1) KLL over event values -> median, (2) KLL over |x - median|
+    (median broadcast) -> MAD, (3) count |x - median| > k*MAD.
+
+    At 100 TB each pass is a map-only scan with O(KB) state; the exact
+    equivalent needs two full sorts.  Rows-only (median/MAD approximate
+    within KLL rank error); the flagged count is sanity-bounded against
+    the exact median/MAD computation in tests."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"cents": cents})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    rows = build_sketches(
+        cents_ds, [SketchSpec("val_kll", "cents", "kll", {"k": 200})]
+    )
+    med = float(collect_sketches(merge_grouped(rows))[("val_kll", "")].quantile(0.5))
+    med_ref = ray.put(med)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"adev": pa.array(np.abs(c - m))})
+
+    rows2 = build_sketches(
+        cents_ds.map_batches(absdev, batch_format="pyarrow", batch_size=None),
+        [SketchSpec("adev_kll", "adev", "kll", {"k": 200})],
+    )
+    mad = float(
+        collect_sketches(merge_grouped(rows2))[("adev_kll", "")].quantile(0.5)
+    )
+    thresh_ref = ray.put((med, k_mad * mad))
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        m, t = ray.get(thresh_ref)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": np.array([len(c)], dtype=np.int64),
+                "n_out": np.array([int(np.sum(np.abs(c - m) > t))], np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [df["n"].sum()], "n_out": [df["n_out"].sum()]}
+        )
+
+    out = two_phase(cents_ds, flag, final, batch_size=None).to_pandas()
+    return pd.DataFrame(
+        {
+            "median_cents": [round(med, 1)],
+            "mad_cents": [round(mad, 1)],
+            "k": [k_mad],
+            "n": pd.Series([int(out["n"].iloc[0])], dtype="int64"),
+            "n_outliers": pd.Series([int(out["n_out"].iloc[0])], dtype="int64"),
+        }
+    )
+
+
 def sk_unigram_logprob_quality(sf_dir: str):
     """Sketch-as-MODEL scoring (the batched-inference shape): pass 1
     builds a Count-Min unigram frequency model over all tokens, pass 2
@@ -6138,5 +6205,6 @@ SKETCH_QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "byte_pair_stats": byte_pair_stats,
     "sk_quality_blend": sk_quality_blend,
+    "sk_robust_outliers": sk_robust_outliers,
     "media_features": media_features,
 }

@@ -793,3 +793,27 @@ def test_sk_quality_blend_monotone_and_deterministic(ray_session, tmp_path):
     _eq(a, b)
     assert ((a["mean_score"] >= 0) & (a["mean_score"] <= 1)).all()
     assert (a["n_hi"] <= a["n_docs"]).all()
+
+
+def test_sk_robust_outliers_vs_exact(ray_session):
+    """Sketch median/MAD within KLL rank error of exact; flagged count
+    within the band implied by the cut uncertainty; deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = Q.sk_robust_outliers(SF)
+    vals = np.round(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"]
+        .to_numpy(zero_copy_only=False) * 100
+    )
+    med, mad = np.median(vals), np.median(np.abs(vals - np.median(vals)))
+    n = len(vals)
+    # KLL k=200 rank error ~1%: estimates within the 2%-rank neighborhood
+    lo, hi = np.quantile(vals, 0.48), np.quantile(vals, 0.52)
+    assert lo <= out["median_cents"].iloc[0] <= hi
+    exact_out = int(np.sum(np.abs(vals - med) > 3 * mad))
+    got = int(out["n_outliers"].iloc[0])
+    assert out["n"].iloc[0] == n
+    # flagged counts agree within the tail mass a 2%-rank shift can move
+    assert abs(got - exact_out) <= max(10, int(0.05 * n))
+    _eq(out, Q.sk_robust_outliers(SF))

@@ -41,6 +41,14 @@ NAMES = [
     "decayed_counts",
     "clickers_never_purchased",
     "price_histogram",
+    # round-4 third slate
+    "dup_spans",
+    "sequence_pack_stats",
+    "gopher_quality_flags",
+    "mixture_weights",
+    "padding_waste_stats",
+    "curation_v2_stats",
+    "train_val_test_split",
 ]
 
 

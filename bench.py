@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "byte_pair_stats",
     "sk_quality_blend",
     "sk_robust_outliers",
+    "rate_limit_audit",
 ]
 
 

@@ -2839,6 +2839,75 @@ def compression_ratio_stats(sf_dir: str):
     )
 
 
+def rate_limit_audit(sf_dir: str, limit: int = 5, num_buckets: int = 32):
+    """RATE-LIMIT / abuse audit (the ops-side shape of a streaming
+    pipeline): per user, the PEAK events-in-one-tumbling-window; report
+    every offender above ``limit``, peak-descending.  Window = day on the
+    sparse synthetic events (the same code shape holds at any granularity
+    — swap the floor_temporal unit).
+
+    Per batch: one strftime floor + Arrow group_by on (user, window) —
+    partial counts; a (user, window) pair can span blocks, so partials
+    hash-bucket BY USER (peaks need all of a user's windows together) and
+    per-bucket sums are exact.  The exchange carries (user, window,
+    count) triples bounded by distinct active windows, never raw events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    B = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="day"), "%Y-%m-%d"
+        )
+        t = pa.table({"user_id": batch["user_id"], "minute": win})
+        t = t.append_column("c", pa.array(np.ones(len(t), np.int64)))
+        g = t.group_by(["user_id", "minute"]).aggregate([("c", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": g["user_id"].cast(pa.int64()),
+                "minute": g["minute"],
+                "c": g["c_sum"].cast(pa.int64()),
+                "bucket": pa.array((uid % B).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "minute"], as_index=False, sort=False).agg(
+            c=("c", "sum")
+        )
+        peak = m.groupby("user_id", as_index=False).agg(peak=("c", "max"))
+        return peak[peak["peak"] > limit]
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "peak_per_window": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.rename(columns={"peak": "peak_per_window"}).sort_values(
+        ["peak_per_window", "user_id"], ascending=[False, True]
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["peak_per_window"] = out["peak_per_window"].astype("int64")
+    return out.reset_index(drop=True)[["user_id", "peak_per_window"]]
+
+
+RATE_LIMIT_SQL = """
+SELECT user_id, CAST(max(c) AS BIGINT) AS peak_per_window FROM (
+  SELECT user_id, date_trunc('day', ts) AS m, count(*) AS c
+  FROM events GROUP BY 1, 2
+) GROUP BY user_id HAVING max(c) > 5
+ORDER BY peak_per_window DESC, user_id
+"""
+
+
 def train_val_test_split(sf_dir: str):
     """Deterministic TRAIN/VAL/TEST assignment (the split step of every
     training-data pipeline): each doc routes by a pure function of doc_id
@@ -6126,6 +6195,7 @@ EXACT_QUERIES = {
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
+    "rate_limit_audit": (rate_limit_audit, RATE_LIMIT_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

@@ -817,3 +817,33 @@ def test_sk_robust_outliers_vs_exact(ray_session):
     # flagged counts agree within the tail mass a 2%-rank shift can move
     assert abs(got - exact_out) <= max(10, int(0.05 * n))
     _eq(out, Q.sk_robust_outliers(SF))
+
+
+def test_rate_limit_audit_planted(ray_session, tmp_path):
+    """A user with 7 same-day events is flagged with peak 7; spread-out
+    users stay clean; bucket-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts, uid = [], []
+    base = np.datetime64("2024-03-01T00:00:00")
+    for i in range(7):  # user 1: burst, one day
+        uid.append(1); ts.append(base + np.timedelta64(i, "h"))
+    for i in range(7):  # user 2: one event per day
+        uid.append(2); ts.append(base + np.timedelta64(i, "D"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(uid)), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["view"] * len(uid)),
+            "ts": pa.array(ts),
+            "value": pa.array([1.0] * len(uid)),
+            "props": pa.array(["{}"] * len(uid)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = Q.rate_limit_audit(str(tmp_path), num_buckets=2)
+    assert list(out["user_id"]) == [1]
+    assert int(out["peak_per_window"].iloc[0]) == 7
+    _eq(out, Q.rate_limit_audit(str(tmp_path), num_buckets=7))

@@ -3786,26 +3786,38 @@ def sk_drift_monitor(sf_dir: str):
     and the report is pure sketch math: p50/p90/p99 shift, distinct-user
     change, per-type frequency-share drift.
 
-    The boundary comes from a ts-only min/max pre-pass (column-pruned; at
-    scale this is parquet footer metadata, no scan).  Sketch-native
+    The boundary comes from parquet FOOTER STATISTICS when present
+    (sources/tables.column_min_max — zero scan; the actual 100-TB path),
+    falling back to a ts-only column min/max pre-pass.  Sketch-native
     monitoring is the 100-TB shape: per-half state is O(KB) regardless of
     corpus size, halves merge associatively from any partitioning, and
     yesterday's serialized half can be compared against today's without
     re-scanning either corpus (see sk_incremental_build for the restore
     path)."""
-    mm_ds = read_table(sf_dir, "events", columns=["ts"])
+    from q_digest_ray.sources.tables import column_min_max
 
-    def p_minmax(batch: pa.Table) -> pd.DataFrame:
-        v = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pd.DataFrame(
-            {"lo": np.array([v.min()], np.int64), "hi": np.array([v.max()], np.int64)}
-        )
+    stats = column_min_max(sf_dir, "events", "ts")
+    if stats is not None:
+        lo_us = int(pa.scalar(stats[0], pa.timestamp("us")).value)
+        hi_us = int(pa.scalar(stats[1], pa.timestamp("us")).value)
+        mid = (lo_us + hi_us) // 2
+    else:  # statistics absent: one ts-only column scan
+        mm_ds = read_table(sf_dir, "events", columns=["ts"])
 
-    def f_minmax(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lo": [df["lo"].min()], "hi": [df["hi"].max()]})
+        def p_minmax(batch: pa.Table) -> pd.DataFrame:
+            v = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pd.DataFrame(
+                {
+                    "lo": np.array([v.min()], np.int64),
+                    "hi": np.array([v.max()], np.int64),
+                }
+            )
 
-    mm = two_phase(mm_ds, p_minmax, f_minmax).to_pandas()
-    mid = (int(mm["lo"].iloc[0]) + int(mm["hi"].iloc[0])) // 2
+        def f_minmax(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"lo": [df["lo"].min()], "hi": [df["hi"].max()]})
+
+        mm = two_phase(mm_ds, p_minmax, f_minmax).to_pandas()
+        mid = (int(mm["lo"].iloc[0]) + int(mm["hi"].iloc[0])) // 2
 
     ds = read_table(
         sf_dir, "events", columns=["ts", "value", "user_id", "event_type"]

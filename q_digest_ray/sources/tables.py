@@ -76,3 +76,38 @@ def read_table_arrow(
     return pq.read_table(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filters=filters
     )
+
+
+def column_min_max(sf_dir: str, name: str, column: str):
+    """(min, max) of a column from parquet FOOTER STATISTICS — zero data
+    scan; the way a 100-TB pipeline gets a time-range boundary (every
+    row-group footer carries min/max).  Returns None when any row group
+    lacks statistics for the column (caller falls back to a column scan).
+    Timestamps come back as their raw physical values (pyarrow converts
+    to datetime; callers normalize)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    paths = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi

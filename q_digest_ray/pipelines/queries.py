@@ -1812,14 +1812,36 @@ def dup_spans_scalable(
             occ=("doc_id", "size")
         )
 
-    rows = ds.map_batches(p2, batch_format="pyarrow").to_pandas()
-    if rows.empty:
-        return empty
-    s = rows.groupby("shingle", as_index=False, sort=False).agg(
-        n_docs=("doc_id", "nunique"), occurrences=("occ", "sum")
+    # final grouping stays distributed: candidate rows re-bucket by
+    # shingle hash (a candidate's rows land in one bucket, so per-bucket
+    # aggregates are global) and only <= B x top rows reach the driver
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df["bucket"] = pd.Series([], dtype="int32")
+            return df
+        h = hash64(pa.array(df["shingle"].to_numpy(dtype=object)))
+        df["bucket"] = (h % np.uint64(B)).astype(np.int32)
+        return df
+
+    def p2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("shingle", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "nunique"), occurrences=("occ", "sum")
+        )
+        s = s[s["n_docs"] >= 2]
+        return s.sort_values(
+            ["n_docs", "occurrences", "shingle"], ascending=[False, False, True]
+        ).head(top)
+
+    cand_rows = (
+        ds.map_batches(p2, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(p2_bucket, batch_format="pandas")
+        .to_pandas()
     )
-    s = s[s["n_docs"] >= 2]
-    out = s.sort_values(
+    if cand_rows.empty:
+        return empty
+    out = cand_rows.sort_values(
         ["n_docs", "occurrences", "shingle"], ascending=[False, False, True]
     ).head(top)
     out = out.reset_index(drop=True)

@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "sk_quality_blend",
     "sk_robust_outliers",
     "rate_limit_audit",
+    "media_phash_dups",
 ]
 
 

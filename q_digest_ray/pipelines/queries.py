@@ -4829,6 +4829,122 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
     )
 
 
+def media_phash_dups(
+    sf_dir: str, n_media: int = 2000, max_hamming: int = 7, size: int = 32
+):
+    """MULTIMODAL NEAR-DUP detection via a REAL perceptual-hash kernel
+    (pHash: resize -> 2D DCT-II -> top-left 8x8 AC coefficients -> median
+    threshold -> 64-bit hash; numpy-only, no codec needed because it runs
+    on PIXELS — the stage downstream of ImageDecodeStage).  Synthetic
+    grayscale frames are generated INSIDE map_batches (per-media_id
+    seeded): ids sharing ``id // 4`` share a base pattern with per-id
+    noise, so every 4-id family is a planted near-dup group the hash must
+    recover THROUGH the noise.
+
+    Distribution is the simhash pigeonhole scheme: 8 chunks of 8 bits —
+    hamming <= 7 guarantees >= 1 equal chunk — so candidate pairs emit
+    inside (chunk, value)-keyed groups with vectorized popcount verify;
+    the driver sees only verified pairs.  Output: corpus/pair/group
+    census.  Rows-only; the planted family structure is asserted in
+    tests (exact recovery: 4-member groups, no cross-family merges)."""
+    import ray.data
+
+    from q_digest_ray.stages.dedup import _union_groups, hamming64
+
+    S = size
+    # orthonormal DCT-II matrix, broadcast once
+    j = np.arange(S)
+    D = np.sqrt(2.0 / S) * np.cos(np.pi * (2 * j[None, :] + 1) * j[:, None] / (2 * S))
+    D[0] /= np.sqrt(2.0)
+    d_ref = ray.put(D)
+
+    def synth_and_hash(batch: pa.Table) -> pa.Table:
+        Dm = ray.get(d_ref)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"media_id": pa.array([], pa.int64()), "phash": pa.array([], pa.int64())}
+            )
+        frames = np.empty((len(ids), S, S), dtype=np.float64)
+        for i, mid in enumerate(ids):  # per-row rng: synthesis, not the kernel
+            base_rng = np.random.default_rng(int(mid) // 4)
+            base = base_rng.integers(0, 256, (S, S)).astype(np.float64)
+            noise_rng = np.random.default_rng(10_000 + int(mid))
+            frames[i] = np.clip(base + noise_rng.normal(0, 4.0, (S, S)), 0, 255)
+        # batched 2D DCT-II: D @ F @ D.T for every frame in two tensordots
+        coef = np.einsum("ij,njk,lk->nil", Dm, frames, Dm, optimize=True)
+        block = coef[:, :8, :8].reshape(len(ids), 64)
+        ac = np.delete(block, 0, axis=1)  # drop DC term
+        med = np.median(ac, axis=1, keepdims=True)
+        bits = (ac > med).astype(np.uint64)  # 63 bits
+        weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+        ph = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "phash": pa.array(ph.view(np.int64)),
+            }
+        )
+
+    hashed = ray.data.range(n_media, override_num_blocks=8).map_batches(
+        synth_and_hash, batch_format="pyarrow", batch_size=None
+    )
+
+    def emit_chunks(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        chunk_idx = np.repeat(np.arange(8, dtype=np.int64), n)
+        ph_t = np.tile(ph, 8)
+        ids_t = np.tile(ids, 8)
+        vals = (ph_t >> (chunk_idx.astype(np.uint64) * np.uint64(8))) & np.uint64(0xFF)
+        key = chunk_idx * 256 + vals.astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "media_id": pa.array(ids_t),
+                "phash": pa.array(ph_t.view(np.int64)),
+            }
+        )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("media_id").sort_values("media_id")
+        ids = g["media_id"].to_numpy(dtype=np.int64)
+        ph = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ai, bi = np.triu_indices(m, k=1)
+        ham = hamming64(ph[ai], ph[bi])
+        ok = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai[ok]], "b": ids[bi[ok]]})
+
+    pairs = (
+        hashed.map_batches(emit_chunks, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()  # a pair can match in several chunks
+    )
+    roots = _union_groups(list(zip(pairs["a"], pairs["b"])))
+    from collections import Counter
+
+    sizes = Counter(roots.values())
+    return pd.DataFrame(
+        {
+            "n_media": pd.Series([n_media], dtype="int64"),
+            "n_dup_pairs": pd.Series([len(pairs)], dtype="int64"),
+            "n_groups": pd.Series([len(sizes)], dtype="int64"),
+            "max_group": pd.Series(
+                [max(sizes.values()) if sizes else 0], dtype="int64"
+            ),
+            "docs_in_groups": pd.Series([len(roots)], dtype="int64"),
+        }
+    )
+
+
 def media_features(sf_dir: str, n_media: int = 1000):
     """Multimodal pipeline through the driver gate (rows-only), fully
     IN-pipeline end to end (r3 VERDICT item 2 replaced a driver WAV loop
@@ -6310,5 +6426,6 @@ SKETCH_QUERIES = {
     "byte_pair_stats": byte_pair_stats,
     "sk_quality_blend": sk_quality_blend,
     "sk_robust_outliers": sk_robust_outliers,
+    "media_phash_dups": media_phash_dups,
     "media_features": media_features,
 }

@@ -847,3 +847,16 @@ def test_rate_limit_audit_planted(ray_session, tmp_path):
     assert list(out["user_id"]) == [1]
     assert int(out["peak_per_window"].iloc[0]) == 7
     _eq(out, Q.rate_limit_audit(str(tmp_path), num_buckets=7))
+
+
+def test_media_phash_planted_families(ray_session):
+    """pHash recovers every planted 4-member near-dup family through the
+    per-image noise with NO cross-family merges: exactly n/4 groups of 4,
+    C(4,2)*n/4 verified pairs, every id grouped."""
+    out = Q.media_phash_dups(SF, n_media=200)
+    r = out.iloc[0]
+    assert r["n_groups"] == 50
+    assert r["max_group"] == 4
+    assert r["n_dup_pairs"] == 6 * 50
+    assert r["docs_in_groups"] == 200
+    _eq(out, Q.media_phash_dups(SF, n_media=200))

@@ -124,6 +124,7 @@ QUERY_NAMES = [
     "sk_robust_outliers",
     "rate_limit_audit",
     "media_phash_dups",
+    "audio_fingerprint_dups",
 ]
 
 

@@ -4829,6 +4829,74 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
     )
 
 
+def audio_fingerprint_dups(sf_dir: str, n_media: int = 1000):
+    """AUDIO near-dup detection through the REAL stdlib-WAV DSP kernel
+    (the acoustic-fingerprint shape): per-id WAV sines synthesized
+    in-pipeline (freq = 100 + (id % 20)*50 — 20 planted frequency
+    families), featurized by the AudioFeatureStage actor pool, and
+    fingerprinted by the SPECTRAL CENTROID quantized to the 50 Hz grid.
+
+    The family-purity check is itself distributed and exact: each partial
+    carries an OR-reduced bitmask of (id % 20) per fingerprint, so the
+    driver can assert every fingerprint contains exactly one planted
+    family (popcount 1) from langs x 1 int rows — no member lists ever
+    collect.  Rows-only; exact family recovery asserted in tests."""
+    import ray.data
+
+    from q_digest_ray.stages.multimodal import AudioFeatureStage, synth_media_batch
+    from q_digest_ray.stages.partitioning import pool_limits
+
+    ds = ray.data.range(n_media, override_num_blocks=8).map_batches(
+        lambda b: synth_media_batch(b, seed=7), batch_format="pyarrow"
+    )
+    feats = ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_limits(),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lst = batch["features"].combine_chunks()
+        n = len(lst)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "fp": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "fam_mask": pd.Series([], dtype="int64"),
+                }
+            )
+        vals = lst.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        centroid = vals[:, 2]
+        fp = (np.round(centroid / 50.0) * 50).astype(np.int64)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.int64(1) << (ids % 20)
+        df = pd.DataFrame({"fp": fp, "cnt": np.ones(n, np.int64), "fam_mask": mask})
+        return df.groupby("fp", as_index=False).agg(
+            cnt=("cnt", "sum"), fam_mask=("fam_mask", lambda s: int(np.bitwise_or.reduce(s)))
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fp", as_index=False).agg(
+            cnt=("cnt", "sum"),
+            fam_mask=("fam_mask", lambda s: int(np.bitwise_or.reduce(s))),
+        )
+
+    g = two_phase(feats, partial, final, batch_size=None).to_pandas()
+    popcounts = np.array([bin(int(m)).count("1") for m in g["fam_mask"]])
+    return pd.DataFrame(
+        {
+            "n_audio": pd.Series([int(g["cnt"].sum())], dtype="int64"),
+            "n_fingerprints": pd.Series([len(g)], dtype="int64"),
+            "max_family": pd.Series([int(g["cnt"].max()) if len(g) else 0], dtype="int64"),
+            "all_pure": pd.Series(
+                [int(bool(len(g)) and bool((popcounts == 1).all()))], dtype="int64"
+            ),
+        }
+    )
+
+
 def media_phash_dups(
     sf_dir: str, n_media: int = 2000, max_hamming: int = 7, size: int = 32
 ):
@@ -6427,5 +6495,6 @@ SKETCH_QUERIES = {
     "sk_quality_blend": sk_quality_blend,
     "sk_robust_outliers": sk_robust_outliers,
     "media_phash_dups": media_phash_dups,
+    "audio_fingerprint_dups": audio_fingerprint_dups,
     "media_features": media_features,
 }

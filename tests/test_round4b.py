@@ -860,3 +860,14 @@ def test_media_phash_planted_families(ray_session):
     assert r["n_dup_pairs"] == 6 * 50
     assert r["docs_in_groups"] == 200
     _eq(out, Q.media_phash_dups(SF, n_media=200))
+
+
+def test_audio_fingerprint_families(ray_session):
+    """The real WAV DSP path recovers all 20 planted frequency families
+    with every fingerprint pure (one family per fingerprint)."""
+    out = Q.audio_fingerprint_dups(SF, n_media=600)
+    r = out.iloc[0]
+    assert r["n_fingerprints"] == 20
+    assert r["all_pure"] == 1
+    assert r["n_audio"] > 100  # ~25% of 600 media are audio
+    _eq(out, Q.audio_fingerprint_dups(SF, n_media=600))

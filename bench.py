@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "rate_limit_audit",
     "media_phash_dups",
     "audio_fingerprint_dups",
+    "video_shot_stats",
 ]
 
 

@@ -4829,6 +4829,83 @@ def sk_qdigest_by_lang_salted(sf_dir: str):
     )
 
 
+def video_shot_stats(
+    sf_dir: str, n_videos: int = 200, n_frames: int = 60, thresh: float = 40.0
+):
+    """VIDEO shot-boundary detection (the frame-level structure pass a
+    video-corpus pipeline runs after frame sampling): per video, inter-
+    frame RMS pixel deltas thresholded into cut points — a REAL numpy
+    kernel over pixel sequences (the stage downstream of
+    FrameSampleStage).  Videos are synthesized in-pipeline (per-id
+    seeded): three 20-frame scenes with intra-scene noise sigma=3, so every
+    video plants cuts at frames 20 and 40 that the detector must recover
+    through the noise (measured margin ~25x: intra-scene delta ~4 vs cut
+    delta ~105).
+
+    One map-only pass; each block emits a single summary row (videos,
+    cuts, expected-cut hits, mean shot length) — nothing per-frame ever
+    leaves a task.  Rows-only; exact planted recovery asserted in tests."""
+    import ray.data
+
+    S, F = 16, n_frames
+
+    def analyze(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vid = len(ids)
+        total_cuts = 0
+        exact_hits = 0
+        sum_shot_len = 0.0
+        for mid in ids:  # per-VIDEO loop; the per-frame math is vectorized
+            frames = np.empty((F, S, S))
+            for seg in range(3):
+                rng = np.random.default_rng(int(mid) * 10 + seg)
+                base = rng.integers(0, 256, (S, S)).astype(np.float64)
+                lo, hi = seg * (F // 3), (seg + 1) * (F // 3)
+                nr = np.random.default_rng(99_000 + int(mid) * 100 + seg)
+                noise = nr.normal(0, 3.0, (hi - lo, S, S))
+                frames[lo:hi] = np.clip(base[None, :, :] + noise, 0, 255)
+            deltas = np.sqrt(((frames[1:] - frames[:-1]) ** 2).mean(axis=(1, 2)))
+            cuts = np.nonzero(deltas > thresh)[0] + 1
+            total_cuts += len(cuts)
+            if list(cuts) == [F // 3, 2 * (F // 3)]:
+                exact_hits += 1
+            sum_shot_len += F / (len(cuts) + 1)
+        return pd.DataFrame(
+            {
+                "n_videos": np.array([n_vid], np.int64),
+                "n_cuts": np.array([total_cuts], np.int64),
+                "exact_recoveries": np.array([exact_hits], np.int64),
+                "sum_shot_len": np.array([sum_shot_len], np.float64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_videos": [df["n_videos"].sum()],
+                "n_cuts": [df["n_cuts"].sum()],
+                "exact_recoveries": [df["exact_recoveries"].sum()],
+                "sum_shot_len": [df["sum_shot_len"].sum()],
+            }
+        )
+
+    ds = ray.data.range(n_videos, override_num_blocks=8)
+    out = two_phase(ds, analyze, final, batch_size=None).to_pandas()
+    r = out.iloc[0]
+    return pd.DataFrame(
+        {
+            "n_videos": pd.Series([int(r["n_videos"])], dtype="int64"),
+            "n_cuts": pd.Series([int(r["n_cuts"])], dtype="int64"),
+            "exact_recoveries": pd.Series(
+                [int(r["exact_recoveries"])], dtype="int64"
+            ),
+            "mean_shot_len": [
+                round(float(r["sum_shot_len"]) / max(int(r["n_videos"]), 1), 4)
+            ],
+        }
+    )
+
+
 def audio_fingerprint_dups(sf_dir: str, n_media: int = 1000):
     """AUDIO near-dup detection through the REAL stdlib-WAV DSP kernel
     (the acoustic-fingerprint shape): per-id WAV sines synthesized
@@ -6496,5 +6573,6 @@ SKETCH_QUERIES = {
     "sk_robust_outliers": sk_robust_outliers,
     "media_phash_dups": media_phash_dups,
     "audio_fingerprint_dups": audio_fingerprint_dups,
+    "video_shot_stats": video_shot_stats,
     "media_features": media_features,
 }

@@ -871,3 +871,15 @@ def test_audio_fingerprint_families(ray_session):
     assert r["all_pure"] == 1
     assert r["n_audio"] > 100  # ~25% of 600 media are audio
     _eq(out, Q.audio_fingerprint_dups(SF, n_media=600))
+
+
+def test_video_shot_stats_exact_recovery(ray_session):
+    """Every planted video yields exactly its 2 cuts at frames 20/40
+    (through intra-scene noise) and shot length 20."""
+    out = Q.video_shot_stats(SF, n_videos=100)
+    r = out.iloc[0]
+    assert r["n_videos"] == 100
+    assert r["n_cuts"] == 200
+    assert r["exact_recoveries"] == 100
+    assert r["mean_shot_len"] == 20.0
+    _eq(out, Q.video_shot_stats(SF, n_videos=100))

@@ -501,13 +501,13 @@ GROUP BY n_name ORDER BY n_name
 def high_value_orders(sf_dir: str):
     """Filter + projection, PUSHED DOWN to the read: the pyarrow expression
     filters at row-group level so non-matching rows never leave storage."""
-    import os
-
     import ray.data
+
+    from q_digest_ray.sources.tables import resolve_table_paths
 
     expr = (pc.field("o_totalprice") > 400000.0) & (pc.field("o_orderstatus") == "F")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+        resolve_table_paths(sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice"],
         filter=expr,
     )

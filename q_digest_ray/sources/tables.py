@@ -2,9 +2,37 @@
 
 from __future__ import annotations
 
+import glob
 import os
 
 import ray.data
+
+
+def resolve_table_paths(sf_dir: str, name: str) -> list[str]:
+    """Paths for table ``name``: either a single ``<name>.parquet`` file or a
+    *directory of shards* (``<name>.parquet/`` or ``<name>/`` holding
+    ``*.parquet``) — the layout every 100x-scale input actually has.
+    Returns the sorted shard list (one element for the single-file case)."""
+    base = os.path.join(sf_dir, f"{name}.parquet")
+    for cand in (base, os.path.join(sf_dir, name)):
+        if os.path.isfile(cand):
+            return [cand]
+        if os.path.isdir(cand):
+            shards = sorted(glob.glob(os.path.join(cand, "*.parquet")))
+            if shards:
+                return shards
+    raise FileNotFoundError(f"table {name!r} not found under {sf_dir} (file or shard dir)")
+
+
+def derive_num_blocks(paths: list[str]) -> int:
+    """Block count from the SUMMED shard sizes: ~1 block per 8 MB, clamped
+    to [1, 64], but never fewer than one block per shard file.  Rationale
+    (BASELINE.md §4): Ray's dynamic SplitBlocks path re-serializes blocks
+    and explodes tiny tables into hundreds of micro-blocks (measured 5-10x
+    slowdowns); with many production-sized files the count naturally equals
+    the file count (1 block/file)."""
+    size = sum(os.path.getsize(p) for p in paths)
+    return max(len(paths), max(1, min(64, size // (8 << 20))))
 
 
 def read_table(
@@ -13,19 +41,14 @@ def read_table(
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
-    """read_parquet with column pruning (only requested columns leave storage).
-
-    Block count defaults to ~1 block per 8 MB of file, clamped to [1, 64]:
-    Ray's dynamic SplitBlocks path re-serializes blocks and explodes tiny
-    tables into hundreds of micro-blocks (measured 5-10x slowdowns); with
-    many production-sized files the count naturally equals the file count.
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    """read_parquet with column pruning (only requested columns leave
+    storage), accepting single-file AND sharded-directory table layouts
+    (see resolve_table_paths / derive_num_blocks)."""
+    paths = resolve_table_paths(sf_dir, name)
     if override_num_blocks is None:
-        size = os.path.getsize(path)
-        override_num_blocks = max(1, min(64, size // (8 << 20)))
+        override_num_blocks = derive_num_blocks(paths)
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=override_num_blocks
+        paths, columns=columns, override_num_blocks=override_num_blocks
     )
 
 
@@ -73,8 +96,9 @@ def read_table_arrow(
     is a scale bug)."""
     import pyarrow.parquet as pq
 
+    paths = resolve_table_paths(sf_dir, name)
     return pq.read_table(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filters=filters
+        paths[0] if len(paths) == 1 else paths, columns=columns, filters=filters
     )
 
 
@@ -85,16 +109,9 @@ def column_min_max(sf_dir: str, name: str, column: str):
     lacks statistics for the column (caller falls back to a column scan).
     Timestamps come back as their raw physical values (pyarrow converts
     to datetime; callers normalize)."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    paths = (
-        sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    paths = resolve_table_paths(sf_dir, name)
     lo = hi = None
     for p in paths:
         md = pq.ParquetFile(p).metadata

@@ -17,8 +17,6 @@ import pyarrow as pa
 
 import ray
 
-from q_digest_ray.stages.partitioning import pool_limits
-
 
 def _matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -39,28 +37,28 @@ def brute_force_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 
     q = q / np.linalg.norm(q)
     qref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(qref)
+    # plain function, NOT an actor pool: the only per-task state is a
+    # broadcast ObjectRef and ray.get of a local object is zero-copy, so a
+    # pool's ~1 s spin-up would buy nothing (BASELINE.md §4 rule)
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _normalize(_matrix(batch[vec_col]))
+        cos = m @ qv
+        t = pa.table({id_col: batch[id_col], "cos_sim": pa.array(cos)})
+        if t.num_rows > k:
+            import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch[vec_col]))
-            cos = m @ self.q
-            t = pa.table({id_col: batch[id_col], "cos_sim": pa.array(cos)})
-            if t.num_rows > k:
-                import pyarrow.compute as pc
-
-                # id tie-break must match the final sort (and the SQL
-                # oracle's ORDER BY cos DESC, id ASC) — without it the
-                # correct row can be discarded in the batch prune
-                idx = pc.select_k_unstable(
-                    t, k=k, sort_keys=[("cos_sim", "descending"), (id_col, "ascending")]
-                )
-                t = t.take(idx)
-            return t
+            # id tie-break must match the final sort (and the SQL
+            # oracle's ORDER BY cos DESC, id ASC) — without it the
+            # correct row can be discarded in the batch prune
+            idx = pc.select_k_unstable(
+                t, k=k, sort_keys=[("cos_sim", "descending"), (id_col, "ascending")]
+            )
+            t = t.take(idx)
+        return t
 
     out = (
-        ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_limits())
+        ds.map_batches(score, batch_format="pyarrow")
         .sort(["cos_sim", id_col], descending=[True, False])
         .limit(k)
         .to_pandas()
@@ -98,41 +96,39 @@ def lsh_topk(
     pop = np.array([bin(i).count("1") for i in range(1 << num_planes)], dtype=np.int64)
     ref = ray.put((q, planes, qsig, pop))
 
-    class Scorer:
-        def __init__(self):
-            self.q, self.planes, self.qsig, self.pop = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch[vec_col]))
-            sig = _signatures(m, self.planes)
-            dist = self.pop[(sig ^ np.uint64(self.qsig)).astype(np.int64)]
-            keep = dist <= probe_hamming
-            scanned = int(keep.sum())
-            if scanned == 0:
-                return pa.table(
-                    {id_col: pa.array([], batch[id_col].type), "cos_sim": pa.array([], pa.float64()),
-                     "scanned": pa.array([], pa.int64())}
-                )
-            cos = m[keep] @ self.q
-            ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
-            # id-ascending tie-break matches the final sort (cos desc, id
-            # asc) — a bare argsort could drop the row the final sort would
-            # keep on a cosine tie at the k boundary (brute_force_topk rule)
-            order = np.lexsort((ids, -cos))[:k]
-            # scanned emitted ONCE per batch (first row) so the sum is the
-            # true candidate count, not k x it
-            scanned_col = np.zeros(len(order), dtype=np.int64)
-            if len(order):
-                scanned_col[0] = scanned
+    # plain broadcast-lookup function (no actor pool — BASELINE.md §4 rule)
+    def score(batch: pa.Table) -> pa.Table:
+        qv, planes_, qsig_, pop_ = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        sig = _signatures(m, planes_)
+        dist = pop_[(sig ^ np.uint64(qsig_)).astype(np.int64)]
+        keep = dist <= probe_hamming
+        scanned = int(keep.sum())
+        if scanned == 0:
             return pa.table(
-                {
-                    id_col: pa.array(ids[order]),
-                    "cos_sim": pa.array(cos[order]),
-                    "scanned": pa.array(scanned_col),
-                }
+                {id_col: pa.array([], batch[id_col].type), "cos_sim": pa.array([], pa.float64()),
+                 "scanned": pa.array([], pa.int64())}
             )
+        cos = m[keep] @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        # id-ascending tie-break matches the final sort (cos desc, id
+        # asc) — a bare argsort could drop the row the final sort would
+        # keep on a cosine tie at the k boundary (brute_force_topk rule)
+        order = np.lexsort((ids, -cos))[:k]
+        # scanned emitted ONCE per batch (first row) so the sum is the
+        # true candidate count, not k x it
+        scanned_col = np.zeros(len(order), dtype=np.int64)
+        if len(order):
+            scanned_col[0] = scanned
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "cos_sim": pa.array(cos[order]),
+                "scanned": pa.array(scanned_col),
+            }
+        )
 
-    df = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_limits()).to_pandas()
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if df.empty:
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     scanned = int(df["scanned"].sum()) if len(df) else 0
@@ -241,40 +237,38 @@ def ivf_topk(
     probe_mask[probes] = True
     ref = ray.put((q, cents, probe_mask))
 
-    class Scorer:
-        def __init__(self):
-            self.q, self.cents, self.probe_mask = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch[vec_col]))
-            assign = np.argmax(m @ self.cents.T, axis=1) if len(m) else np.zeros(0, int)
-            keep = self.probe_mask[assign]
-            scanned = int(keep.sum())
-            if scanned == 0:
-                return pa.table(
-                    {
-                        id_col: pa.array([], batch[id_col].type),
-                        "cos_sim": pa.array([], pa.float64()),
-                        "scanned": pa.array([], pa.int64()),
-                    }
-                )
-            cos = m[keep] @ self.q
-            ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
-            # id-ascending tie-break matches the final sort (cos desc, id
-            # asc) — a bare argsort could drop the row the final sort would
-            # keep on a cosine tie at the k boundary (brute_force_topk rule)
-            order = np.lexsort((ids, -cos))[:k]
-            scanned_col = np.zeros(len(order), dtype=np.int64)
-            scanned_col[0] = scanned
+    # plain broadcast-lookup function (no actor pool — BASELINE.md §4 rule)
+    def score(batch: pa.Table) -> pa.Table:
+        qv, cents_, probe_mask_ = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        assign = np.argmax(m @ cents_.T, axis=1) if len(m) else np.zeros(0, int)
+        keep = probe_mask_[assign]
+        scanned = int(keep.sum())
+        if scanned == 0:
             return pa.table(
                 {
-                    id_col: pa.array(ids[order]),
-                    "cos_sim": pa.array(cos[order]),
-                    "scanned": pa.array(scanned_col),
+                    id_col: pa.array([], batch[id_col].type),
+                    "cos_sim": pa.array([], pa.float64()),
+                    "scanned": pa.array([], pa.int64()),
                 }
             )
+        cos = m[keep] @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        # id-ascending tie-break matches the final sort (cos desc, id
+        # asc) — a bare argsort could drop the row the final sort would
+        # keep on a cosine tie at the k boundary (brute_force_topk rule)
+        order = np.lexsort((ids, -cos))[:k]
+        scanned_col = np.zeros(len(order), dtype=np.int64)
+        scanned_col[0] = scanned
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "cos_sim": pa.array(cos[order]),
+                "scanned": pa.array(scanned_col),
+            }
+        )
 
-    df = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_limits()).to_pandas()
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if df.empty:
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     scanned = int(df["scanned"].sum())
@@ -313,22 +307,20 @@ def build_ivf_index(
     cents = train_centroids(ds, vec_col, num_centroids, seed=seed)
     cref = ray.put(cents)
 
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch[vec_col]))
-            assign = (
-                np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
-                if len(m)
-                else np.zeros(0, np.int32)
-            )
-            return batch.append_column("centroid", pa.array(assign))
+    # plain broadcast-lookup function (no actor pool — BASELINE.md §4 rule)
+    def assign_centroid(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cref)
+        m = _normalize(_matrix(batch[vec_col]))
+        assign = (
+            np.argmax(m @ cents_.T, axis=1).astype(np.int32)
+            if len(m)
+            else np.zeros(0, np.int32)
+        )
+        return batch.append_column("centroid", pa.array(assign))
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "centroids.npy"), cents)
-    ds.map_batches(Assign, batch_format="pyarrow", concurrency=pool_limits()).write_parquet(
+    ds.map_batches(assign_centroid, batch_format="pyarrow").write_parquet(
         os.path.join(out_dir, "vectors"), partition_cols=["centroid"]
     )
     return cents

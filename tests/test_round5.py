@@ -1,0 +1,102 @@
+"""Round-5 additions: sharded-directory table reads (VERDICT r4 item 1)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from q_digest_ray.sources.tables import (
+    derive_num_blocks,
+    read_table,
+    read_table_arrow,
+    resolve_table_paths,
+)
+
+
+@pytest.fixture(scope="module")
+def sharded_dir(sf_dir, tmp_path_factory):
+    """sf0.001 re-sharded: every table becomes <name>.parquet/part-*.parquet."""
+    from tools.reshard import reshard
+
+    out = str(tmp_path_factory.mktemp("sharded_sf"))
+    return reshard(sf_dir, out, shards=3)
+
+
+def test_resolve_single_file(sf_dir):
+    paths = resolve_table_paths(sf_dir, "nation")
+    assert len(paths) == 1 and paths[0].endswith("nation.parquet")
+
+
+def test_resolve_shard_dir(sharded_dir):
+    paths = resolve_table_paths(sharded_dir, "documents")
+    assert len(paths) >= 2
+    assert all(os.sep + "documents.parquet" + os.sep in p for p in paths)
+    assert paths == sorted(paths)
+
+
+def test_resolve_bare_dir_layout(sharded_dir, tmp_path):
+    # <name>/ without the .parquet suffix is also a valid shard-dir layout
+    import shutil
+
+    src = os.path.join(sharded_dir, "nation.parquet")
+    dst = os.path.join(str(tmp_path), "nation")
+    shutil.copytree(src, dst)
+    paths = resolve_table_paths(str(tmp_path), "nation")
+    assert len(paths) >= 1 and all(p.startswith(dst) for p in paths)
+
+
+def test_resolve_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resolve_table_paths(str(tmp_path), "nope")
+
+
+def test_derive_num_blocks_sums_shards(tmp_path):
+    # 3 shards of 5 MB each -> 15 MB total -> size rule says 1 (15//8=1)
+    # but the per-shard floor lifts it to 3 (one block per file, no
+    # SplitBlocks re-serialization)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"part-{i}.parquet"
+        p.write_bytes(b"\0" * (5 << 20))
+        paths.append(str(p))
+    assert derive_num_blocks(paths) == 3
+    # one 100 MB file -> 12 blocks (100//8), clamped inside [1, 64]
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"\0" * (100 << 20))
+    assert derive_num_blocks([str(big)]) == 12
+    # tiny single file -> 1
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"\0" * 1024)
+    assert derive_num_blocks([str(small)]) == 1
+
+
+def test_read_table_sharded_equals_single(ray_session, sf_dir, sharded_dir):
+    a = read_table(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    b = read_table(sharded_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_read_table_arrow_sharded(sf_dir, sharded_dir):
+    a = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    b = read_table_arrow(sharded_dir, "nation", columns=["n_nationkey", "n_name"])
+    assert a.sort_by("n_nationkey").equals(b.sort_by("n_nationkey"))
+
+
+def test_catalog_queries_on_sharded_input(ray_session, sf_dir, sharded_dir):
+    """A representative catalog slice must produce identical results on the
+    sharded layout (the full catalog is covered by tools/check_oracles.py
+    against tools/reshard.py output at sf0.01)."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ["pricing_summary", "lang_counts", "dedup_exact", "top_users"]:
+        a = qs[name](sf_dir)
+        b = qs[name](sharded_dir)
+        a = a.to_pandas() if hasattr(a, "to_pandas") else pd.DataFrame(a)
+        b = b.to_pandas() if hasattr(b, "to_pandas") else pd.DataFrame(b)
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -42,7 +42,13 @@ def main():
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # single file or sharded dir (<t>.parquet/ or <t>/ of *.parquet)
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        elif not os.path.exists(src) and os.path.isdir(f"{sf_dir}/{t}"):
+            src = f"{sf_dir}/{t}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs = e.queries()
     oracles = e.oracle_sql()

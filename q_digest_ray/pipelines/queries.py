@@ -1720,9 +1720,13 @@ def dup_spans_scalable(
     keeps only shingles whose hash is in the broadcast candidate set
     (searchsorted membership), and re-ranks EXACTLY on the recovered
     strings.  A hash collision can only add a spurious candidate (counts
-    are recomputed per string in pass 2), never drop a true one — a
-    colliding hash's aggregate counts dominate each of its strings', so
-    true winners always survive selection.
+    are recomputed per string in pass 2); a colliding hash's aggregate
+    counts dominate each of its strings', so a winner's own hash always
+    survives selection — the residual risk is a collision INFLATING a
+    different same-bucket hash past a boundary-tie cut, displacing a true
+    winner, so byte-identity holds except under a 64-bit shingle-hash
+    collision among same-bucket candidates (~2^-64 per pair; the boundary
+    tie-keep margin absorbs the common cases).
 
     Same oracle as dup_spans; parity asserted in tests."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2880,21 +2884,21 @@ def rate_limit_audit(sf_dir: str, limit: int = 5, num_buckets: int = 32):
         win = pc.strftime(
             pc.floor_temporal(batch["ts"], unit="day"), "%Y-%m-%d"
         )
-        t = pa.table({"user_id": batch["user_id"], "minute": win})
+        t = pa.table({"user_id": batch["user_id"], "window": win})
         t = t.append_column("c", pa.array(np.ones(len(t), np.int64)))
-        g = t.group_by(["user_id", "minute"]).aggregate([("c", "sum")])
+        g = t.group_by(["user_id", "window"]).aggregate([("c", "sum")])
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "user_id": g["user_id"].cast(pa.int64()),
-                "minute": g["minute"],
+                "window": g["window"],
                 "c": g["c_sum"].cast(pa.int64()),
                 "bucket": pa.array((uid % B).astype(np.int32)),
             }
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["user_id", "minute"], as_index=False, sort=False).agg(
+        m = g.groupby(["user_id", "window"], as_index=False, sort=False).agg(
             c=("c", "sum")
         )
         peak = m.groupby("user_id", as_index=False).agg(peak=("c", "max"))
@@ -4916,8 +4920,8 @@ def audio_fingerprint_dups(sf_dir: str, n_media: int = 1000):
     The family-purity check is itself distributed and exact: each partial
     carries an OR-reduced bitmask of (id % 20) per fingerprint, so the
     driver can assert every fingerprint contains exactly one planted
-    family (popcount 1) from langs x 1 int rows — no member lists ever
-    collect.  Rows-only; exact family recovery asserted in tests."""
+    family (popcount 1) from fingerprint x 1 int rows — no member lists
+    ever collect.  Rows-only; exact family recovery asserted in tests."""
     import ray.data
 
     from q_digest_ray.stages.multimodal import AudioFeatureStage, synth_media_batch
@@ -5459,10 +5463,14 @@ def lang_source_matrix(sf_dir: str):
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["source", "lang"], as_index=False).agg(n=("lang_count", "sum"))
+        # total from the PRE-reindex counts (= count(*) like the SQL
+        # oracle) so a lang outside the pinned pivot set still counts
+        # toward total even though it gets no n_* column
+        totals = g.groupby("source")["n"].sum().astype("int64")
         mat = g.pivot_table(index="source", columns="lang", values="n", aggfunc="sum")
         mat = mat.reindex(columns=_PIVOT_LANGS).fillna(0).astype("int64")
         mat.columns = [f"n_{c}" for c in mat.columns]
-        mat["total"] = mat.sum(axis=1)
+        mat["total"] = totals.reindex(mat.index)
         return mat.reset_index()
 
     df = two_phase(ds, partial, final).to_pandas()

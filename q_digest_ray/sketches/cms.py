@@ -91,7 +91,13 @@ class CountMinSketch(Sketch):
         they automatically share hash functions as required."""
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("cannot inner-product CMS with different shapes")
-        return int((self.table * other.table).sum(axis=1).min())
+        # accumulate in unbounded Python ints: per-cell products can reach
+        # ~n_a*n_b/width, which overflows int64 (and numpy wraps SILENTLY)
+        # for the large-stream scale this docstring targets — same guard
+        # sk_skew_f2 applies for exact F2
+        a = self.table.astype(object)
+        b = other.table.astype(object)
+        return int(min((a * b).sum(axis=1)))
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (other.depth, other.width) != (self.depth, self.width):

@@ -39,7 +39,9 @@ def two_phase(
     very large partial sets: each round coalesces the block count 8x and
     applies ``combine_fn``, which is REQUIRED for folding — it must map
     partial rows to partial rows (``final_fn`` usually renames/derives
-    columns, so re-applying it would break the next round).
+    columns, so re-applying it would break the next round).  ``combine_fn``
+    runs Arrow-native (pyarrow Table → Table): partials can carry binary
+    payloads, and a pandas round-trip would copy them through object dtype.
     """
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     partials = ds.map_batches(
@@ -57,7 +59,7 @@ def two_phase(
         for _ in range(fold_rounds):
             target = max(8, target // 8)
             partials = partials.repartition(target).map_batches(
-                combine_fn, batch_format="pandas", batch_size=None
+                combine_fn, batch_format="pyarrow", batch_size=None
             )
     return partials.repartition(1).map_batches(
         final_fn, batch_format="pandas", batch_size=None

@@ -100,3 +100,58 @@ def test_catalog_queries_on_sharded_input(ray_session, sf_dir, sharded_dir):
         a = a.sort_values(list(a.columns)).reset_index(drop=True)
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_cms_inner_product_no_int64_overflow():
+    """ADVICE r4: per-cell products can exceed 2^63; the estimate must not
+    wrap.  Two sketches whose cells hold ~2^33 counts produce per-cell
+    products ~2^66 — a wrapped int64 sum would go negative/garbage."""
+    from q_digest_ray.sketches.cms import CountMinSketch
+
+    a = CountMinSketch(depth=2, width=4)
+    b = CountMinSketch(depth=2, width=4)
+    big = 1 << 33
+    a.table[:] = big
+    b.table[:] = big
+    est = a.inner_product(b)
+    assert est == 4 * big * big  # > 2^68, exact in unbounded ints
+    assert est > 0
+
+
+def test_merge_fold_arrow_native_equivalence(ray_session):
+    """Fold rounds + shuffle groupby produce identical merged sketches
+    after the Arrow-native rewrite (no pandas leg left in the path)."""
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.sketches.base import sketch_from_bytes
+    from q_digest_ray.sketches.hll import HyperLogLog
+    from q_digest_ray.stages.merge import merge_grouped
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(64):
+        h = HyperLogLog(p=10)
+        vals = rng.integers(0, 10000, 200)
+        h.update_batch(vals.astype(np.uint64))
+        rows.append(
+            {
+                "metric": "m",
+                "sketch": "hll",
+                "group_key": f"g{i % 3}",
+                "payload": h.to_bytes(),
+                "n": 200,
+            }
+        )
+    ds = ray.data.from_items(rows).repartition(8)
+    folded = {
+        (r["metric"], r["group_key"]): sketch_from_bytes(r["sketch"], r["payload"])
+        for r in merge_grouped(ds, fold_rounds=1).take_all()
+    }
+    shuffled = {
+        (r["metric"], r["group_key"]): sketch_from_bytes(r["sketch"], r["payload"])
+        for r in merge_grouped(ds, shuffle=True).take_all()
+    }
+    assert set(folded) == set(shuffled) and len(folded) == 3
+    for k in folded:
+        assert abs(folded[k].estimate() - shuffled[k].estimate()) < 1e-9

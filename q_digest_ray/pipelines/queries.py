@@ -1565,14 +1565,17 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
-def _span_shingles(batch: pa.Table, K: int):
-    """(shingle strings, doc_id per shingle) for all K-word shingles of a
-    batch — ONE tokenization shared by dup_spans and dup_spans_scalable so
-    both passes agree byte-for-byte.  Returns (None, None) when the batch
+def _span_token_view(batch: pa.Table, K: int):
+    """Tokenized batch view shared by the span census (dup_spans*) and the
+    span-removal rewrite — ONE tokenization so every span pass agrees
+    byte-for-byte.  Returns None for an all-null batch, else
+    ``(filtered_batch, flat_tokens, per_doc_offsets, shingles, starts)``
+    where ``shingles``/``starts`` are the K-word shingle strings at valid
+    (non-doc-crossing) flat start indices, or (None, None) when the batch
     yields no shingles."""
     batch = batch.filter(pc.is_valid(batch["text"]))
     if len(batch) == 0:
-        return None, None
+        return None
     trimmed = pc.replace_substring_regex(
         pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
     )
@@ -1580,28 +1583,40 @@ def _span_shingles(batch: pa.Table, K: int):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
+    offs = np.asarray(toks.offsets)
     n = len(flat)
     if n < K:
-        return None, None
+        return batch, flat, offs, None, None
     m = n - K + 1
-    offs = np.asarray(toks.offsets)
     valid = np.ones(m, dtype=bool)
     starts = offs[1:-1]
     for j in range(1, K):
         s = starts - j
         s = s[(s >= 0) & (s < m)]
         valid[s] = False
-    tokdoc = np.repeat(
-        batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs)
-    )
     shingle = pc.binary_join_element_wise(
         *[flat.slice(j, m) for j in range(K)], " "
     )
-    mask = pa.array(valid)
-    sh = shingle.filter(mask)
+    sh = shingle.filter(pa.array(valid))
     if len(sh) == 0:
+        return batch, flat, offs, None, None
+    return batch, flat, offs, sh, np.flatnonzero(valid)
+
+
+def _span_shingles(batch: pa.Table, K: int):
+    """(shingle strings, doc_id per shingle) for all K-word shingles of a
+    batch (see _span_token_view).  Returns (None, None) when the batch
+    yields no shingles."""
+    view = _span_token_view(batch, K)
+    if view is None:
         return None, None
-    return sh, tokdoc[:m][valid]
+    batch, flat, offs, sh, starts = view
+    if sh is None:
+        return None, None
+    tokdoc = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), np.diff(offs)
+    )
+    return sh, tokdoc[starts]
 
 
 def dup_spans(
@@ -1853,6 +1868,163 @@ def dup_spans_scalable(
     out["n_docs"] = out["n_docs"].astype("int64")
     out["occurrences"] = out["occurrences"].astype("int64")
     return out[["rn", "shingle", "n_docs", "occurrences"]]
+
+
+def span_removal_dedup(
+    sf_dir: str, k_words: int = 5, min_docs: int = 2, num_buckets: int | None = None
+):
+    """SPAN-REMOVAL dedup — the rewrite half of Lee et al. 2021 exact-
+    substring dedup that dup_spans* only censuses: every K-word span
+    occurring in >= ``min_docs`` distinct docs is EXCISED from all docs
+    (ExactSubstr-cut semantics — remove-all is the partition-invariant
+    form; keep-one would need a global occurrence order), docs are rebuilt
+    from surviving tokens, fully-duplicated docs drop out.
+
+    Matching and output both operate on the lowercased whitespace-
+    normalized token stream (the dup_spans tokenization), so the rebuilt
+    text is byte-exact vs the SQL oracle computing the identical rebuild.
+
+    Physical plan: pass 1 ships (hash64(shingle), doc_id) 16-byte pairs
+    bucketed by hash, per-bucket distinct-doc counts yield the duplicated-
+    hash set (no shingle text on the wire); the sorted hash set broadcasts
+    via ray.put and pass 2 is ONE doc-local map — searchsorted membership
+    marks covered token positions, a cumsum re-offsets survivors, and
+    pc.binary_join rebuilds every doc's text vectorized (no per-doc Python
+    loop).  At 100 TB a too-large dup set shards by hash range into G
+    groups and pass 2 runs per group excising cumulatively (same output:
+    coverage is a union over matches).  Collision caveat: a 64-bit hash
+    collision could excise an innocent span (~2^-64/pair; counts are per
+    hash, not per string)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    K = k_words
+
+    def p1(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "h": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32"),
+            }
+        )
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
+            return empty
+        h = hash64(sh).view(np.int64)
+        df = pd.DataFrame({"h": h, "doc_id": doc}).drop_duplicates()
+        df["bucket"] = (
+            df["h"].to_numpy().view(np.uint64) % np.uint64(B)
+        ).astype(np.int32)
+        return df
+
+    def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "nunique")
+        )
+        return s.loc[s["n_docs"] >= min_docs, ["h"]]
+
+    dup = (
+        ds.map_batches(p1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_sorted = (
+        np.sort(dup["h"].to_numpy(dtype=np.int64))
+        if len(dup)
+        else np.zeros(0, dtype=np.int64)
+    )
+    dref = ray.put(dup_sorted)
+
+    def p2(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens_in": pa.array([], pa.int64()),
+                "n_tokens_kept": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        view = _span_token_view(batch, K)
+        if view is None:
+            return empty
+        fbatch, flat, offs, sh, starts = view
+        dup_h = ray.get(dref)
+        cov = np.zeros(len(flat), dtype=bool)
+        if sh is not None and len(dup_h):
+            h = hash64(sh).view(np.int64)
+            pos = np.searchsorted(dup_h, h)
+            pos = np.minimum(pos, len(dup_h) - 1)
+            hit = dup_h[pos] == h
+            ms = starts[hit]
+            for j in range(K):  # K marks, each vectorized over all matches
+                cov[ms + j] = True
+        kept = ~cov
+        csum = np.zeros(len(kept) + 1, dtype=np.int64)
+        np.cumsum(kept, out=csum[1:])
+        kept_per_doc = csum[offs[1:]] - csum[offs[:-1]]
+        n_in = np.diff(offs).astype(np.int64)
+        kept_tokens = flat.filter(pa.array(kept))
+        new_offs = np.zeros(len(kept_per_doc) + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=new_offs[1:])
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_offs, type=pa.int32()), kept_tokens
+            ),
+            " ",
+        )
+        t = pa.table(
+            {
+                "doc_id": fbatch["doc_id"].cast(pa.int64()),
+                "n_tokens_in": pa.array(n_in),
+                "n_tokens_kept": pa.array(kept_per_doc.astype(np.int64)),
+                "text": text,
+            }
+        )
+        return t.filter(pa.array(kept_per_doc > 0))
+
+    out = ds.map_batches(p2, batch_format="pyarrow", batch_size=None).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens_in": pd.Series([], dtype="int64"),
+                "n_tokens_kept": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="object"),
+            }
+        )
+    for c in ("doc_id", "n_tokens_in", "n_tokens_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SPAN_REMOVAL_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, i, array_to_string(s[i:i+4], ' ') AS shingle
+  FROM d, unnest(generate_series(1, len(s)-4)) AS t(i)
+  WHERE len(s) >= 5
+), dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT m.doc_id, u.p
+  FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (shingle)) m,
+       unnest(generate_series(m.i, m.i+4)) AS u(p)
+), toks AS (
+  SELECT doc_id, unnest(range(1, len(s)+1)) AS pos, unnest(s) AS tok FROM d
+)
+SELECT t.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens_in,
+       CAST(count(*) FILTER (WHERE c.p IS NULL) AS BIGINT) AS n_tokens_kept,
+       string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (WHERE c.p IS NULL) AS text
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+GROUP BY t.doc_id
+HAVING count(*) FILTER (WHERE c.p IS NULL) > 0
+ORDER BY t.doc_id
+"""
 
 
 def byte_pair_stats(sf_dir: str, top: int = 20):
@@ -6496,6 +6668,7 @@ EXACT_QUERIES = {
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
+    "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "rate_limit_audit": (rate_limit_audit, RATE_LIMIT_SQL),

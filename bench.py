@@ -126,6 +126,9 @@ QUERY_NAMES = [
     "media_phash_dups",
     "audio_fingerprint_dups",
     "video_shot_stats",
+    "span_removal_dedup",
+    "epoch_ingest_order",
+    "epoch_token_counts",
 ]
 
 
@@ -216,6 +219,26 @@ def run_bench() -> dict:
             print(f"curation_500k failed: {exc}", file=sys.stderr)
             curation_sec = None
 
+    # training-ingest leg: one full deterministic-epoch pass over the
+    # sf documents table (sort to epoch order + streamed batch iteration +
+    # token counting) — the consumption-side tokens/sec the trainer sees
+    ingest_tokens_per_sec = None
+    if not os.environ.get("GRAFT_SKIP_INGEST"):
+        try:
+            from q_digest_ray.pipelines.ingest import (
+                count_tokens_batch,
+                iter_epoch_batches,
+            )
+
+            total_tokens = 0
+            t0 = time.perf_counter()
+            for b in iter_epoch_batches(SF_DIR, epoch=0, batch_size=1024, split="all"):
+                total_tokens += int(count_tokens_batch(b).sum())
+            ingest_sec = time.perf_counter() - t0
+            ingest_tokens_per_sec = round(total_tokens / ingest_sec, 1)
+        except Exception as exc:
+            print(f"ingest leg failed: {exc}", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         # min-of-N per query: shared-VM load bursts inflate single shots
@@ -251,6 +274,7 @@ def run_bench() -> dict:
                 RAY_GRAFT_CPUS="16",
                 GRAFT_BENCH_REPS="2",
                 GRAFT_SKIP_QUERIES="1",
+                GRAFT_SKIP_INGEST="1",
                 GRAFT_NO_ALT="1",
             )
             # the alt session also re-times the curation leg: it is the
@@ -277,6 +301,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "docs_per_sec": round(CC_ROWS / headline, 1),
         "curation_500k_sec": curation_sec,
+        "ingest_tokens_per_sec": ingest_tokens_per_sec,
         "cc_rows": CC_ROWS,
         "queries": per_query,
         "sf": SF_DIR,
@@ -324,6 +349,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_REPS="2",
             GRAFT_SKIP_QUERIES="1",
             GRAFT_SKIP_CURATION="1",
+            GRAFT_SKIP_INGEST="1",
             GRAFT_NO_ALT="1",
         )
         out = subprocess.run(

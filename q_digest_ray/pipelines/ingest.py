@@ -1,0 +1,169 @@
+"""Training-ingest leg: deterministic epoch-ordered consumption of the
+curated corpus — the stage *after* export in every real training-data
+pipeline (VERDICT r4 item 4).
+
+Order contract
+--------------
+Epoch ``e`` presents docs sorted by a PURE integer hash of
+``(doc_id, e, seed)`` (the same SQL-replicable Knuth-multiplicative form
+``train_val_test_split`` uses), tie-broken by doc_id.  Consequences:
+
+- identical order on ANY partitioning / block layout / cluster size;
+- resume-mid-epoch is exact: the order is a function, not RNG state — skip
+  the first N consumed docs and the continuation is byte-identical
+  (``iter_epoch_batches(skip_docs=N)``);
+- the DuckDB oracle can verify the exact order with ``ORDER BY`` on the
+  same arithmetic (catalog query ``epoch_ingest_order``);
+- different epochs give different, decorrelated permutations (the epoch
+  term shifts every key).
+
+Consumer sharding
+-----------------
+Two APIs, different guarantees:
+
+- ``epoch_shard(consumer, n_consumers)`` — deterministic data-parallel
+  sharding: consumer *i* gets docs with ``order_key % n == i``, internally
+  epoch-ordered.  No coordination, exact reproducibility per consumer,
+  balanced in expectation (hash uniformity).  This is the resume-safe path.
+- ``epoch_splits(n)`` — ``Dataset.streaming_split`` for throughput-first
+  multi-consumer reads: blocks dispatch dynamically to whichever consumer
+  is ready, so per-consumer CONTENT is not run-reproducible (the union is).
+  Use when consumers checkpoint collectively, not per-shard.
+
+The one wide op per epoch is the order sort; everything else is map-only.
+At 100 TB the sort is a range-shuffle of (order_key, doc payload) — the
+standard price of a true global shuffle per epoch; cheaper approximations
+(block-order randomization + in-block permutation) trade determinism for
+bandwidth and are NOT this contract.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from q_digest_ray.sources.tables import read_table
+
+# train_val_test_split's exact constants (queries.py TRAIN_VAL_TEST_SQL)
+_M1 = 1000003
+_A = 2654435761
+_M2 = 1000000007
+_EPOCH_PRIME = 40503
+
+
+def order_key(doc_id: np.ndarray, epoch: int, seed: int = 0) -> np.ndarray:
+    """Pure epoch-order key.  The epoch/seed term MULTIPLIES mod the prime
+    (a constant multiplier mod M2 is a genuine permutation of the key
+    space); an *additive* term would be a mere rotation, which preserves
+    sort order except at the wraparound — epochs would share one order.
+    int64-safe: (M2-1) * (epoch*40503+17+seed*97) < 2^63 for epochs into
+    the tens of thousands."""
+    did = doc_id.astype(np.int64)
+    base = (did % _M1) * np.int64(_A) % np.int64(_M2)
+    mult = np.int64(epoch * _EPOCH_PRIME + 17 + seed * 97)
+    return base * mult % np.int64(_M2)
+
+
+def split_bucket(doc_id: np.ndarray) -> np.ndarray:
+    """0-79 train / 80-89 val / 90-99 test (train_val_test_split parity)."""
+    did = doc_id.astype(np.int64)
+    return ((did % _M1) * np.int64(_A)) % np.int64(_M2) % np.int64(100)
+
+
+_SPLIT_RANGE = {"train": (0, 80), "val": (80, 90), "test": (90, 100), "all": (0, 100)}
+
+
+def epoch_dataset(
+    sf_dir: str,
+    epoch: int,
+    split: str = "train",
+    seed: int = 0,
+    columns: list[str] | None = None,
+):
+    """documents filtered to ``split`` and globally sorted in epoch order.
+
+    The ``_order`` column stays on the result (consumers may verify or
+    range-checkpoint against it)."""
+    lo, hi = _SPLIT_RANGE[split]
+    cols = columns or ["doc_id", "text"]
+    if "doc_id" not in cols:
+        cols = ["doc_id"] + cols
+    ds = read_table(sf_dir, "documents", columns=cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = split_bucket(did)
+        batch = batch.append_column("_order", pa.array(order_key(did, epoch, seed)))
+        return batch.filter(pa.array((b >= lo) & (b < hi)))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", "doc_id"])
+
+
+def iter_epoch_batches(
+    sf_dir: str,
+    epoch: int,
+    batch_size: int = 256,
+    skip_docs: int = 0,
+    split: str = "train",
+    seed: int = 0,
+) -> Iterator[pa.Table]:
+    """Epoch-ordered Arrow batches for a trainer; ``skip_docs`` resumes
+    mid-epoch exactly (the continuation is byte-identical to the tail of a
+    full pass — tested)."""
+    remaining_skip = skip_docs
+    for batch in epoch_dataset(sf_dir, epoch, split, seed).iter_batches(
+        batch_size=batch_size, batch_format="pyarrow"
+    ):
+        if remaining_skip >= batch.num_rows:
+            remaining_skip -= batch.num_rows
+            continue
+        if remaining_skip > 0:
+            batch = batch.slice(remaining_skip)
+            remaining_skip = 0
+        yield batch
+
+
+def epoch_shard(
+    sf_dir: str,
+    epoch: int,
+    consumer: int,
+    n_consumers: int,
+    split: str = "train",
+    seed: int = 0,
+):
+    """Deterministic per-consumer shard: docs with order_key % n == i,
+    epoch-ordered.  Shards are disjoint, cover the split exactly, and are
+    reproducible per consumer (the property streaming_split trades away)."""
+    lo, hi = _SPLIT_RANGE[split]
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = split_bucket(did)
+        k = order_key(did, epoch, seed)
+        keep = (b >= lo) & (b < hi) & (k % np.int64(n_consumers) == consumer)
+        batch = batch.append_column("_order", pa.array(k))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", "doc_id"])
+
+
+def epoch_splits(
+    sf_dir: str, epoch: int, n: int, split: str = "train", seed: int = 0, equal: bool = False
+):
+    """``streaming_split`` iterators over the epoch-ordered dataset — the
+    throughput-first multi-consumer path (see module docstring caveat)."""
+    return epoch_dataset(sf_dir, epoch, split, seed).streaming_split(n, equal=equal)
+
+
+def count_tokens_batch(batch: pa.Table, text_col: str = "text") -> np.ndarray:
+    """Whitespace token counts (token_totals parity: empty/blank text = 0)."""
+    return (
+        pc.count_substring_regex(batch[text_col], r"\S+")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )

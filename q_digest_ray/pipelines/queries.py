@@ -3148,6 +3148,101 @@ GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+def epoch_ingest_order(sf_dir: str, top: int = 20):
+    """TRAINING-INGEST order proof (pipelines/ingest.py): the first ``top``
+    docs of epochs 0 and 1 of the train split in the deterministic epoch
+    order, with per-doc whitespace token counts.  The oracle replicates the
+    pure order-key arithmetic in SQL, so a driver hash-match proves the
+    consumption order itself — not just the row set — is reproducible
+    (the property that makes mid-epoch resume exact)."""
+    from q_digest_ray.pipelines.ingest import count_tokens_batch, epoch_dataset
+
+    frames = []
+    for epoch in (0, 1):
+        head = epoch_dataset(sf_dir, epoch, split="train").limit(top)
+        t = pa.Table.from_pandas(head.to_pandas())  # tiny: top rows
+        toks = count_tokens_batch(t)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "epoch": np.full(t.num_rows, epoch, dtype=np.int64),
+                    "rank": np.arange(1, t.num_rows + 1, dtype=np.int64),
+                    "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "n_tokens": toks,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+EPOCH_INGEST_ORDER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens,
+         ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS b
+  FROM documents
+), e AS (
+  SELECT ep.epoch, doc_id, n_tokens,
+         ((doc_id % 1000003) * 2654435761) % 1000000007
+           * (ep.epoch * 40503 + 17) % 1000000007 AS okey
+  FROM base, (SELECT unnest([0, 1]) AS epoch) ep
+  WHERE b < 80
+)
+SELECT epoch, rank, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+  SELECT epoch, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY epoch ORDER BY okey, doc_id) AS rank
+  FROM e
+) WHERE rank <= 20 ORDER BY epoch, rank
+"""
+
+
+def epoch_token_counts(sf_dir: str):
+    """EXACT per-split doc/token totals — the consumption-volume invariant
+    a trainer checks per epoch (one map-only pass + bounded combine; the
+    same split hash as train_val_test_split)."""
+    from q_digest_ray.pipelines.ingest import count_tokens_batch, split_bucket
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b = split_bucket(batch["doc_id"].to_numpy(zero_copy_only=False))
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        toks = count_tokens_batch(batch)
+        df = pd.DataFrame({"split": split, "toks": toks})
+        return df.groupby("split", sort=False, as_index=False).agg(
+            total_tokens=("toks", "sum"), n_docs=("toks", "size")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("split", as_index=False).agg(
+            total_tokens=("total_tokens", "sum"), n_docs=("n_docs", "sum")
+        )
+        out["total_tokens"] = out["total_tokens"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    out = two_phase(ds, partial, final).to_pandas()
+    return out.sort_values("split").reset_index(drop=True)[
+        ["split", "n_docs", "total_tokens"]
+    ]
+
+
+EPOCH_TOKEN_COUNTS_SQL = r"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM (SELECT ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS b,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents)
+GROUP BY 1 ORDER BY split
+"""
+
+
 def curation_v2_stats(sf_dir: str, num_buckets: int | None = None):
     """COMPOSED curation funnel v2 — exact keep-first dedup x Gopher rule
     battery in ONE exchange: per surviving (min doc_id) text, how many
@@ -6671,6 +6766,8 @@ EXACT_QUERIES = {
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
+    "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),
+    "epoch_token_counts": (epoch_token_counts, EPOCH_TOKEN_COUNTS_SQL),
     "rate_limit_audit": (rate_limit_audit, RATE_LIMIT_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "value_band_join": (value_band_join, VALUE_BAND_JOIN_SQL),

@@ -129,6 +129,7 @@ QUERY_NAMES = [
     "span_removal_dedup",
     "epoch_ingest_order",
     "epoch_token_counts",
+    "ann_ivfpq_topk",
 ]
 
 

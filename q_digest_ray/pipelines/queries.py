@@ -3609,6 +3609,60 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ composite index (stages/ann.build_ivfpq_index): PQ codes
+    stored per IVF list, query = partition-pruned ADC scan over m-byte
+    codes + exact cosine rerank of the top candidates.  Builds the
+    materialized index under a per-process /tmp dir, queries it, and
+    verifies partition pruning (probed paths < total partitions).
+    Rows-only; recall-vs-brute asserted in tests."""
+    import shutil
+    import tempfile
+
+    from q_digest_ray.stages.ann import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        ivfpq_probe_paths,
+    )
+
+    emb = read_table_arrow(
+        sf_dir,
+        "embeddings",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qvec = np.array(emb["embedding"].to_pylist()[0], dtype=np.float64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["vec_id"], pa.scalar(0)))
+
+    idx_dir = tempfile.mkdtemp(prefix="qdr_ivfpq_")
+    try:
+        build_ivfpq_index(
+            ds.map_batches(drop_query, batch_format="pyarrow"),
+            "vec_id",
+            "embedding",
+            idx_dir,
+            num_centroids=32,
+            m=8,
+        )
+        out = ivfpq_index_topk(
+            idx_dir, "vec_id", "embedding", qvec, k=10, nprobe=8, rerank=8
+        )
+        # partition pruning is part of the operator's contract
+        import glob
+        import os
+
+        _, probed = ivfpq_probe_paths(idx_dir, qvec, nprobe=8)
+        total = glob.glob(os.path.join(idx_dir, "vectors", "centroid=*", "*.parquet"))
+        assert len(probed) < len(total), "IVF-PQ scan must prune partitions"
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def curation_funnel(sf_dir: str):
     """End-to-end corpus curation (the canonical training-data pipeline):
     documents -> exact dedup (keep min doc_id per distinct text) -> quality
@@ -6815,6 +6869,7 @@ SKETCH_QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_cluster_sizes": embedding_cluster_sizes,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,

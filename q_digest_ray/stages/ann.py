@@ -360,6 +360,42 @@ def ivf_index_topk(
     return brute_force_topk(ds, id_col, vec_col, query, k=k)
 
 
+def _train_pq_books(
+    sample: np.ndarray, m: int, num_codes: int, iters: int, seed: int
+) -> list[np.ndarray]:
+    """Per-subspace k-means codebooks (shared by pq_topk and the IVF-PQ
+    composite index).  L2 assignment via the dot-minus-half-norm identity."""
+    D = sample.shape[1]
+    assert D % m == 0, f"dim {D} not divisible by m={m}"
+    sub = D // m
+    rng = np.random.default_rng(seed)
+    books: list[np.ndarray] = []
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        ks = min(num_codes, len(X))
+        C = X[rng.choice(len(X), ks, replace=False)].copy()
+        for _ in range(iters):
+            a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            for c in range(ks):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(C)
+    return books
+
+
+def _pq_encode(M: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """(n, m) uint8 codes for normalized vectors M."""
+    m = len(books)
+    sub = M.shape[1] // m
+    codes = np.empty((M.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        X = M[:, j * sub : (j + 1) * sub]
+        C = books[j]
+        codes[:, j] = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+    return codes
+
+
 def pq_topk(
     ds,
     id_col: str,
@@ -408,23 +444,8 @@ def pq_topk(
     if len(sample_df) == 0:
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     sample = _normalize(_matrix(pa.array(list(sample_df[vec_col]))))
-    D = sample.shape[1]
-    assert D % m == 0, f"dim {D} not divisible by m={m}"
-    sub = D // m
-    rng = np.random.default_rng(seed)
-    books: list[np.ndarray] = []
-    for j in range(m):
-        X = sample[:, j * sub : (j + 1) * sub]
-        ks = min(num_codes, len(X))
-        C = X[rng.choice(len(X), ks, replace=False)].copy()
-        for _ in range(iters):
-            # L2 assignment via the dot-minus-half-norm identity
-            a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
-            for c in range(ks):
-                mem = X[a == c]
-                if len(mem):
-                    C[c] = mem.mean(axis=0)
-        books.append(C)
+    books = _train_pq_books(sample, m, num_codes, iters, seed)
+    sub = sample.shape[1] // m
     luts = [q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
     half_norms = [0.5 * (C * C).sum(axis=1) for C in books]
     state = ray.put((books, luts, half_norms, q))
@@ -455,3 +476,194 @@ def pq_topk(
     )
     out["cos_sim"] = out["cos_sim"].round(6)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index: PQ codes stored per IVF list (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    ds,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    num_centroids: int = 64,
+    m: int = 8,
+    num_codes: int = 64,
+    sample_size: int = 2000,
+    iters: int = 8,
+    seed: int = 23,
+) -> np.ndarray:
+    """Materialize the standard IVF-PQ composite (Jegou et al. 2011 IVFADC,
+    by_residual=False variant): vectors parquet-partitioned by their coarse
+    centroid, each row carrying its m-byte PQ code (fixed-size binary) next
+    to the full vector.  A query then (1) PRUNES PARTITIONS to nprobe
+    centroid directories, (2) column-prunes the ADC scan to (id, code) —
+    m bytes/vector instead of 4*D — and (3) exact-reranks only the top ADC
+    candidates by re-reading their full vectors.  Layout is resumable: each
+    partition directory is an independent unit (build_ivf_index pattern)."""
+    import json
+    import os
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    cents = train_centroids(ds, vec_col, num_centroids, sample_size=max(sample_size, 2000), seed=seed)
+    if cents.size == 0:
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "centroids.npy"), cents)
+        np.save(os.path.join(out_dir, "books.npy"), np.zeros((0, 0, 0)))
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({"m": m, "num_codes": num_codes, "empty": True}, f)
+        return cents
+
+    # PQ codebooks from one strided bounded sample (same sampling shape as
+    # pq_topk — driver work is sample-sized)
+    from q_digest_ray.stages.partitioning import estimate_num_blocks
+
+    nb = estimate_num_blocks(ds) or 64
+    per_block = max(8, sample_size // nb)
+
+    def strided(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= per_block:
+            return batch
+        idx = np.linspace(0, n - 1, per_block).astype(np.int64)
+        return batch.take(pa.array(idx))
+
+    sample_df = (
+        ds.map_batches(strided, batch_format="pyarrow", batch_size=None)
+        .limit(sample_size)
+        .to_pandas()
+    )
+    sample = _normalize(_matrix(pa.array(list(sample_df[vec_col]))))
+    books = _train_pq_books(sample, m, num_codes, iters, seed)
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    np.save(os.path.join(out_dir, "books.npy"), np.stack(books))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"m": m, "num_codes": num_codes, "dim": int(sample.shape[1])}, f)
+
+    cref = ray.put((cents, books))
+
+    # plain broadcast-lookup function (no actor pool — BASELINE.md §4 rule)
+    def assign_and_encode(batch: pa.Table) -> pa.Table:
+        cents_, books_ = ray.get(cref)
+        M = _normalize(_matrix(batch[vec_col]))
+        if len(M) == 0:
+            assign = np.zeros(0, np.int32)
+            codes = np.zeros((0, m), np.uint8)
+        else:
+            assign = np.argmax(M @ cents_.T, axis=1).astype(np.int32)
+            codes = _pq_encode(M, books_)
+        batch = batch.append_column(
+            "pq_code", pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), len(codes), [None, pa.py_buffer(codes.tobytes())]
+            )
+        )
+        return batch.append_column("centroid", pa.array(assign))
+
+    ds.map_batches(assign_and_encode, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "vectors"), partition_cols=["centroid"]
+    )
+    return cents
+
+
+def ivfpq_probe_paths(index_dir: str, query: np.ndarray, nprobe: int):
+    """(normalized query, probed-partition parquet paths) — exposed so
+    callers/tests can assert the partition pruning."""
+    import glob
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    if cents.size == 0:
+        return None, []
+    q = query.astype(np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(cents @ q))[:nprobe]
+    paths = []
+    for c in probes:
+        d = os.path.join(index_dir, "vectors", f"centroid={c}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return q, paths
+
+
+def ivfpq_index_topk(
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    rerank: int = 4,
+) -> pd.DataFrame:
+    """Query the IVF-PQ index: pruned ADC scan over (id, code) columns of
+    the nprobe probed partitions only, then exact cosine rerank of the top
+    ``rerank*k`` ADC candidates (their full vectors re-read with an id
+    filter pushed into the parquet scan)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_mod
+    import ray.data
+
+    q, paths = ivfpq_probe_paths(index_dir, query, nprobe)
+    if not paths:
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    m = meta["m"]
+    books = [b for b in np.load(os.path.join(index_dir, "books.npy"))]
+    sub = books[0].shape[1]
+    luts = np.stack([q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)])
+    lref = ray.put(luts)
+    cand = rerank * k
+
+    # ADC scan: column-pruned to (id, m-byte code); plain broadcast-lookup fn
+    def adc(batch: pa.Table) -> pd.DataFrame:
+        luts_ = ray.get(lref)
+        col = batch["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "adc": []})
+        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8).reshape(-1, m)[
+            col.offset : col.offset + n
+        ]
+        s = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            s += luts_[j][codes[:, j]]
+        take = min(cand, n)
+        top = np.argpartition(-s, take - 1)[:take]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False)[top],
+                "adc": s[top],
+            }
+        )
+
+    adc_df = (
+        ray.data.read_parquet(paths, columns=[id_col, "pq_code"])
+        .map_batches(adc, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["adc", id_col], ascending=[False, True])
+        .head(cand)
+    )
+    if adc_df.empty:
+        return pd.DataFrame(columns=[id_col, "cos_sim"])
+    cand_ids = adc_df[id_col].tolist()
+    # exact rerank: re-read ONLY the candidates' full vectors (id filter
+    # pushed to the probed partitions' row groups) — tiny driver-side table
+    tbl = pq_mod.read_table(
+        paths, columns=[id_col, vec_col], filters=[(id_col, "in", cand_ids)]
+    )
+    M = _normalize(_matrix(tbl[vec_col]))
+    cos = M @ q
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos))[:k]
+    out = pd.DataFrame({id_col: ids[order], "cos_sim": np.round(cos[order], 6)})
+    return out.reset_index(drop=True)

@@ -3,6 +3,7 @@
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from q_digest_ray.sources.tables import (
@@ -317,3 +318,80 @@ def test_epoch_splits_cover_once(ray_session, sf_dir):
     full = _epoch_doc_sequence(sf_dir, 0)
     union = seen[0] + seen[1]
     assert sorted(union) == sorted(full)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=50, dim=16, seed=4):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5
+    return np.concatenate(
+        [centers[c] + rng.normal(size=(per_cluster, dim)) * 0.3 for c in range(n_clusters)]
+    )
+
+
+def test_ivfpq_index_recall_and_pruning(ray_session, tmp_path):
+    """Recall >= the IVF index bar (0.9 on clustered vectors) AND the ADC
+    scan provably prunes partitions."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.stages.ann import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        ivfpq_probe_paths,
+    )
+
+    vecs = _clustered_vectors(seed=6)
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    idx_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        ray.data.from_pandas(df), "vid", "v", idx_dir, num_centroids=8, m=4, seed=9
+    )
+    parts = [
+        d
+        for d in os.listdir(os.path.join(idx_dir, "vectors"))
+        if d.startswith("centroid=")
+    ]
+    assert len(parts) >= 2, "index must be partitioned by centroid"
+    # stored codes are m-byte fixed-size binary
+    import glob
+
+    import pyarrow.parquet as pq
+
+    one = pq.read_table(
+        glob.glob(os.path.join(idx_dir, "vectors", parts[0], "*.parquet"))[0]
+    )
+    assert one.schema.field("pq_code").type == pa.binary(4)
+
+    query = vecs[123] + 0.05
+    got = ivfpq_index_topk(idx_dir, "vid", "v", query, k=10, nprobe=3, rerank=8)
+    brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
+    recall = len(set(got["vid"]) & set(brute["vid"])) / 10
+    assert recall >= 0.9, recall
+    # partition pruning: nprobe=3 of 8 centroids -> strictly fewer files
+    _, probed = ivfpq_probe_paths(idx_dir, query, nprobe=3)
+    total = glob.glob(os.path.join(idx_dir, "vectors", "centroid=*", "*.parquet"))
+    assert 0 < len(probed) < len(total)
+    # cos_sim values are EXACT (rerank reads true vectors): cross-check one
+    merged = got.merge(brute, on="vid", suffixes=("_pq", "_bf"))
+    assert (merged["cos_sim_pq"] == merged["cos_sim_bf"]).all()
+
+
+def test_ivfpq_catalog_query(ray_session, sf_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["ann_ivfpq_topk"](sf_dir)
+    assert len(out) == 10
+    assert list(out.columns) == ["vec_id", "cos_sim"]
+    assert 0 not in set(out["vec_id"])  # query vector excluded

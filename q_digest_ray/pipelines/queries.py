@@ -5683,9 +5683,6 @@ def shipping_priority(sf_dir: str, num_buckets: int | None = None):
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     )
-    orders_f = orders.map_batches(
-        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)), batch_format="pyarrow"
-    )
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
@@ -5702,9 +5699,40 @@ def shipping_priority(sf_dir: str, num_buckets: int | None = None):
     B = num_buckets or derive_buckets(
         size_bytes=(orders.size_bytes() or 0) + (li.size_bytes() or 0)
     )
-    orders_bld = bucketed_join(
-        orders_f, cust_f, on="o_custkey", right_on="c_custkey", num_buckets=B, how="semi"
-    )
+    # Semi-prune orders by BUILDING custkeys WITHOUT a dedicated exchange
+    # (r4 VERDICT item 7: the old plan paid TWO sequential bucketed-join
+    # fixed costs).  The segment-filtered key set is dimension-sized:
+    # broadcast it sorted via ray.put and filter inside the same map that
+    # date-filters orders — searchsorted membership, zero added shuffle.
+    # Threshold-gated: past ~5M keys (40 MB) fall back to the bucketed
+    # existence join (the repo's standard broadcast-vs-exchange gate).
+    # The gate and the collect are ONE streaming pass: limit(N+1) stops
+    # early when the dimension is huge, so no separate count() scan.
+    lim = 5_000_000
+    head = cust_f.limit(lim + 1).to_pandas()
+    if len(head) <= lim:
+        keys = np.sort(head["c_custkey"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def orders_filter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+            if len(ks) == 0:
+                return batch.slice(0, 0)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+            return batch.filter(pa.array(ks[pos] == ck))
+
+        orders_bld = orders.map_batches(orders_filter, batch_format="pyarrow")
+    else:
+        orders_f = orders.map_batches(
+            lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
+            batch_format="pyarrow",
+        )
+        orders_bld = bucketed_join(
+            orders_f, cust_f, on="o_custkey", right_on="c_custkey",
+            num_buckets=B, how="semi",
+        )
     joined = bucketed_join(
         orders_bld, li_f, on="o_orderkey", right_on="l_orderkey", num_buckets=B
     )

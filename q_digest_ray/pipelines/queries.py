@@ -6509,7 +6509,7 @@ def zscore_outliers(sf_dir: str):
 
     stats = two_phase(ds, moments, stats_final).to_pandas()
     stats_ref = ray.put(
-        {r["lang"]: (r["m"], r["sd"]) for _, r in stats.iterrows()}
+        dict(zip(stats["lang"], zip(stats["m"], stats["sd"])))
     )
 
     # plain-function broadcast lookup (no actor pool: ray.get on a local

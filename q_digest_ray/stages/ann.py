@@ -631,9 +631,13 @@ def ivfpq_index_topk(
         n = len(col)
         if n == 0:
             return pd.DataFrame({id_col: [], "adc": []})
-        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8).reshape(-1, m)[
-            col.offset : col.offset + n
-        ]
+        # count= caps the view at exactly (offset+n)*m bytes: Arrow pads
+        # buffers to 64-byte multiples, and the padding is only divisible
+        # by m when m is a power of two — a bare reshape(-1, m) would
+        # raise for other m
+        codes = np.frombuffer(
+            col.buffers()[1], dtype=np.uint8, count=(col.offset + n) * m
+        ).reshape(-1, m)[col.offset :]
         s = np.zeros(n, dtype=np.float64)
         for j in range(m):
             s += luts_[j][codes[:, j]]

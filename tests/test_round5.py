@@ -395,3 +395,30 @@ def test_ivfpq_catalog_query(ray_session, sf_dir):
     assert len(out) == 10
     assert list(out.columns) == ["vec_id", "cos_sim"]
     assert 0 not in set(out["vec_id"])  # query vector excluded
+
+
+def test_ivfpq_non_power_of_two_m(ray_session, tmp_path):
+    """m=2 with dim 16 (sub=8) and m-byte codes not aligned to Arrow's
+    64-byte buffer padding: the ADC decode must slice by count, not rely
+    on padding divisibility."""
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.stages.ann import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    vecs = _clustered_vectors(n_clusters=4, per_cluster=25, dim=12, seed=11)
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    idx = str(tmp_path / "pq6")
+    build_ivfpq_index(
+        ray.data.from_pandas(df), "vid", "v", idx, num_centroids=4, m=6, num_codes=32, seed=3
+    )
+    q = vecs[40] + 0.02
+    got = ivfpq_index_topk(idx, "vid", "v", q, k=5, nprobe=2, rerank=8)
+    brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", q, k=5)
+    assert len(set(got["vid"]) & set(brute["vid"])) >= 4

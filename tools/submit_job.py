@@ -27,6 +27,10 @@ Pipelines:
   curation  — keep-first exact dedup x Gopher gates (pipelines/export.
               curation_v2) over (url, lang, text); writes per-lang funnel
               counts.
+  ingest    — deterministic epoch-ordered consumption pass (pipelines/
+              ingest) over a directory holding documents.parquet; writes
+              per-split token/doc totals for the epoch (--epoch).  The
+              trainer-side smoke of the training-ingest leg.
 """
 
 from __future__ import annotations
@@ -46,7 +50,8 @@ import ray
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pipeline", choices=["flagship", "curation"], required=True)
+    ap.add_argument("--pipeline", choices=["flagship", "curation", "ingest"], required=True)
+    ap.add_argument("--epoch", type=int, default=0, help="ingest pipeline: epoch number")
     ap.add_argument("--input", required=True, help="cc_pages parquet directory")
     ap.add_argument("--output", required=True, help="result directory (shared fs)")
     args = ap.parse_args()
@@ -65,6 +70,32 @@ def main() -> int:
         from q_digest_ray.pipelines.flagship import run_cc_pages_flagship
 
         result = run_cc_pages_flagship(args.input, batch_size=None)
+    elif args.pipeline == "ingest":
+        import pandas as pd
+
+        from q_digest_ray.pipelines.ingest import (
+            count_tokens_batch,
+            iter_epoch_batches,
+            split_bucket,
+        )
+
+        totals: dict[str, list[int]] = {}
+        for split in ("train", "val", "test"):
+            docs = toks = 0
+            for b in iter_epoch_batches(
+                args.input, epoch=args.epoch, batch_size=4096, split=split
+            ):
+                docs += b.num_rows
+                toks += int(count_tokens_batch(b).sum())
+            totals[split] = [docs, toks]
+        result = pd.DataFrame(
+            {
+                "split": list(totals),
+                "epoch": args.epoch,
+                "n_docs": [v[0] for v in totals.values()],
+                "total_tokens": [v[1] for v in totals.values()],
+            }
+        )
     else:
         from q_digest_ray.pipelines.export import curation_v2
         from q_digest_ray.sources.cc_pages import read_cc_pages

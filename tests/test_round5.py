@@ -422,3 +422,53 @@ def test_ivfpq_non_power_of_two_m(ray_session, tmp_path):
     got = ivfpq_index_topk(idx, "vid", "v", q, k=5, nprobe=2, rerank=8)
     brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", q, k=5)
     assert len(set(got["vid"]) & set(brute["vid"])) >= 4
+
+
+def test_span_removal_randomized_differential(ray_session, tmp_path):
+    """Randomized corpora with a tiny vocabulary (forces genuine cross-doc
+    shingle sharing) vs a pure-Python reference implementation."""
+    import re
+
+    import numpy as np
+
+    from q_digest_ray.pipelines.queries import span_removal_dedup
+
+    rng = np.random.default_rng(77)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(3, 18))
+        texts.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
+
+    K = 5
+
+    def ref(texts):
+        toks = [re.split(r"\s+", t.strip().lower()) for t in texts]
+        counts = {}
+        for d, ts in enumerate(toks):
+            for i in range(len(ts) - K + 1):
+                counts.setdefault(" ".join(ts[i : i + K]), set()).add(d)
+        dup = {s for s, docs in counts.items() if len(docs) >= 2}
+        out = []
+        for d, ts in enumerate(toks):
+            cov = [False] * len(ts)
+            for i in range(len(ts) - K + 1):
+                if " ".join(ts[i : i + K]) in dup:
+                    for j in range(i, i + K):
+                        cov[j] = True
+            kept = [t for t, c in zip(ts, cov) if not c]
+            if kept:
+                out.append((d, len(ts), len(kept), " ".join(kept)))
+        return out
+
+    d = _write_docs(tmp_path, texts)
+    got = span_removal_dedup(d)
+    exp = ref(texts)
+    assert len(got) == len(exp)
+    for row, (doc, n_in, n_kept, text) in zip(got.itertuples(index=False), exp):
+        assert (row.doc_id, row.n_tokens_in, row.n_tokens_kept, row.text) == (
+            doc,
+            n_in,
+            n_kept,
+            text,
+        )

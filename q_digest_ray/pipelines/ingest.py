@@ -76,6 +76,19 @@ def split_bucket(doc_id: np.ndarray) -> np.ndarray:
 _SPLIT_RANGE = {"train": (0, 80), "val": (80, 90), "test": (90, 100), "all": (0, 100)}
 
 
+def _epoch_order(ds, epoch: int, split: str, seed: int, id_col: str = "doc_id"):
+    """split-filter + order-key tag + the one global order sort."""
+    lo, hi = _SPLIT_RANGE[split]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].to_numpy(zero_copy_only=False)
+        b = split_bucket(did)
+        batch = batch.append_column("_order", pa.array(order_key(did, epoch, seed)))
+        return batch.filter(pa.array((b >= lo) & (b < hi)))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", id_col])
+
+
 def epoch_dataset(
     sf_dir: str,
     epoch: int,
@@ -87,19 +100,29 @@ def epoch_dataset(
 
     The ``_order`` column stays on the result (consumers may verify or
     range-checkpoint against it)."""
-    lo, hi = _SPLIT_RANGE[split]
     cols = columns or ["doc_id", "text"]
     if "doc_id" not in cols:
         cols = ["doc_id"] + cols
-    ds = read_table(sf_dir, "documents", columns=cols)
+    return _epoch_order(read_table(sf_dir, "documents", columns=cols), epoch, split, seed)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        b = split_bucket(did)
-        batch = batch.append_column("_order", pa.array(order_key(did, epoch, seed)))
-        return batch.filter(pa.array((b >= lo) & (b < hi)))
 
-    return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", "doc_id"])
+def epoch_dataset_from_export(
+    export_dir: str,
+    epoch: int,
+    split: str = "train",
+    seed: int = 0,
+    columns: list[str] | None = None,
+):
+    """Same epoch-order contract over a CURATED EXPORT directory — the
+    layout ``pipelines/export.curate_corpus`` writes
+    (``<dir>/lang=<v>/bucket-*.parquet``; columns doc_id, text, n_tokens,
+    quality_score + the hive lang partition).  This is the literal
+    export→trainer handoff: curate once, then every epoch/consumer reads
+    the same committed shards in its own deterministic order."""
+    import ray.data
+
+    ds = ray.data.read_parquet(export_dir, columns=columns)
+    return _epoch_order(ds, epoch, split, seed)
 
 
 def iter_epoch_batches(

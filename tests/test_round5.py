@@ -472,3 +472,37 @@ def test_span_removal_randomized_differential(ray_session, tmp_path):
             n_kept,
             text,
         )
+
+
+def test_epoch_over_curated_export(ray_session, sf_dir, tmp_path):
+    """The literal export->trainer handoff: curate once, then epoch-ordered
+    deterministic iteration over the committed shards; content equals the
+    exported train-split docs."""
+    from q_digest_ray.pipelines.export import curate_corpus
+    from q_digest_ray.pipelines.ingest import epoch_dataset_from_export, split_bucket
+    from q_digest_ray.sources.tables import read_table
+
+    import numpy as np
+
+    out = str(tmp_path / "curated")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    curate_corpus(ds, out)
+
+    a = epoch_dataset_from_export(out, epoch=1).to_pandas()
+    b = epoch_dataset_from_export(out, epoch=1).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])  # deterministic
+    assert (split_bucket(a["doc_id"].to_numpy()) < 80).all()  # train split
+
+    # content = exported docs in the train split, each exactly once
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(out, "lang=*", "*.parquet"))
+    exported = pq.read_table(files, columns=["doc_id"])["doc_id"].to_pylist()
+    want = sorted(d for d in exported if split_bucket(np.array([d]))[0] < 80)
+    assert sorted(a["doc_id"]) == want
+    # epoch order differs from epoch 0's
+    c = epoch_dataset_from_export(out, epoch=0).to_pandas()
+    assert list(c["doc_id"]) != list(a["doc_id"])

@@ -494,6 +494,7 @@ def build_ivfpq_index(
     sample_size: int = 2000,
     iters: int = 8,
     seed: int = 23,
+    by_residual: bool = False,
 ) -> np.ndarray:
     """Materialize the standard IVF-PQ composite (Jegou et al. 2011 IVFADC,
     by_residual=False variant): vectors parquet-partitioned by their coarse
@@ -502,7 +503,14 @@ def build_ivfpq_index(
     centroid directories, (2) column-prunes the ADC scan to (id, code) —
     m bytes/vector instead of 4*D — and (3) exact-reranks only the top ADC
     candidates by re-reading their full vectors.  Layout is resumable: each
-    partition directory is an independent unit (build_ivf_index pattern)."""
+    partition directory is an independent unit (build_ivf_index pattern).
+
+    ``by_residual=True`` is the Faiss-default IVFADC refinement: codebooks
+    are trained on and codes encode the RESIDUAL v - centroid(v), which
+    quantizes much finer than raw vectors once the coarse assignment has
+    removed the cluster mean; the query side adds the exact q.centroid
+    term per probed list, so ADC scores stay comparable across lists with
+    the same single set of LUTs."""
     import json
     import os
     import shutil
@@ -515,7 +523,8 @@ def build_ivfpq_index(
         np.save(os.path.join(out_dir, "centroids.npy"), cents)
         np.save(os.path.join(out_dir, "books.npy"), np.zeros((0, 0, 0)))
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
-            json.dump({"m": m, "num_codes": num_codes, "empty": True}, f)
+            json.dump({"m": m, "num_codes": num_codes, "empty": True,
+                       "by_residual": by_residual}, f)
         return cents
 
     # PQ codebooks from one strided bounded sample (same sampling shape as
@@ -538,13 +547,18 @@ def build_ivfpq_index(
         .to_pandas()
     )
     sample = _normalize(_matrix(pa.array(list(sample_df[vec_col]))))
-    books = _train_pq_books(sample, m, num_codes, iters, seed)
+    if by_residual:
+        sassign = np.argmax(sample @ cents.T, axis=1)
+        books = _train_pq_books(sample - cents[sassign], m, num_codes, iters, seed)
+    else:
+        books = _train_pq_books(sample, m, num_codes, iters, seed)
 
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "centroids.npy"), cents)
     np.save(os.path.join(out_dir, "books.npy"), np.stack(books))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"m": m, "num_codes": num_codes, "dim": int(sample.shape[1])}, f)
+        json.dump({"m": m, "num_codes": num_codes, "dim": int(sample.shape[1]),
+                   "by_residual": by_residual}, f)
 
     cref = ray.put((cents, books))
 
@@ -557,7 +571,7 @@ def build_ivfpq_index(
             codes = np.zeros((0, m), np.uint8)
         else:
             assign = np.argmax(M @ cents_.T, axis=1).astype(np.int32)
-            codes = _pq_encode(M, books_)
+            codes = _pq_encode(M - cents_[assign] if by_residual else M, books_)
         batch = batch.append_column(
             "pq_code", pa.FixedSizeBinaryArray.from_buffers(
                 pa.binary(m), len(codes), [None, pa.py_buffer(codes.tobytes())]
@@ -571,24 +585,33 @@ def build_ivfpq_index(
     return cents
 
 
-def ivfpq_probe_paths(index_dir: str, query: np.ndarray, nprobe: int):
-    """(normalized query, probed-partition parquet paths) — exposed so
-    callers/tests can assert the partition pruning."""
+def _probe_groups(index_dir: str, query: np.ndarray, nprobe: int):
+    """(normalized query, centroids, [(centroid_id, [shard paths])]) for
+    the nprobe probed lists."""
     import glob
     import os
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     if cents.size == 0:
-        return None, []
+        return None, cents, []
     q = query.astype(np.float64)
     q = q / np.linalg.norm(q)
     probes = np.argsort(-(cents @ q))[:nprobe]
-    paths = []
+    groups = []
     for c in probes:
         d = os.path.join(index_dir, "vectors", f"centroid={c}")
         if os.path.isdir(d):
-            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
-    return q, paths
+            ps = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if ps:
+                groups.append((int(c), ps))
+    return q, cents, groups
+
+
+def ivfpq_probe_paths(index_dir: str, query: np.ndarray, nprobe: int):
+    """(normalized query, probed-partition parquet paths) — exposed so
+    callers/tests can assert the partition pruning."""
+    q, _cents, groups = _probe_groups(index_dir, query, nprobe)
+    return q, [p for _c, ps in groups for p in ps]
 
 
 def ivfpq_index_topk(
@@ -603,19 +626,23 @@ def ivfpq_index_topk(
     """Query the IVF-PQ index: pruned ADC scan over (id, code) columns of
     the nprobe probed partitions only, then exact cosine rerank of the top
     ``rerank*k`` ADC candidates (their full vectors re-read with an id
-    filter pushed into the parquet scan)."""
+    filter pushed into the parquet scan).  Residual indexes add the exact
+    q.centroid term per probed list (constant per partition, attached at
+    its read), keeping ADC scores comparable across lists."""
     import json
     import os
 
     import pyarrow.parquet as pq_mod
     import ray.data
 
-    q, paths = ivfpq_probe_paths(index_dir, query, nprobe)
+    q, cents, groups = _probe_groups(index_dir, query, nprobe)
+    paths = [p for _c, ps in groups for p in ps]
     if not paths:
         return pd.DataFrame(columns=[id_col, "cos_sim"])
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     m = meta["m"]
+    by_residual = bool(meta.get("by_residual", False))
     books = [b for b in np.load(os.path.join(index_dir, "books.npy"))]
     sub = books[0].shape[1]
     luts = np.stack([q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)])
@@ -641,6 +668,8 @@ def ivfpq_index_topk(
         s = np.zeros(n, dtype=np.float64)
         for j in range(m):
             s += luts_[j][codes[:, j]]
+        if "cdot" in batch.schema.names:
+            s += batch["cdot"].to_numpy(zero_copy_only=False)
         take = min(cand, n)
         top = np.argpartition(-s, take - 1)[:take]
         return pd.DataFrame(
@@ -650,9 +679,25 @@ def ivfpq_index_topk(
             }
         )
 
+    # one pruned read per probed list; residual indexes attach the list's
+    # exact q.centroid dot as a constant column so cross-list ADC ranks hold
+    def _list_ds(c: int, ps: list) -> "ray.data.Dataset":
+        d = ray.data.read_parquet(ps, columns=[id_col, "pq_code"])
+        if not by_residual:
+            return d
+        base = float(cents[c] @ q)
+
+        def add_cdot(batch: pa.Table, base=base) -> pa.Table:
+            return batch.append_column(
+                "cdot", pa.array(np.full(batch.num_rows, base))
+            )
+
+        return d.map_batches(add_cdot, batch_format="pyarrow")
+
+    dsets = [_list_ds(c, ps) for c, ps in groups]
+    scan = dsets[0] if len(dsets) == 1 else dsets[0].union(*dsets[1:])
     adc_df = (
-        ray.data.read_parquet(paths, columns=[id_col, "pq_code"])
-        .map_batches(adc, batch_format="pyarrow")
+        scan.map_batches(adc, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["adc", id_col], ascending=[False, True])
         .head(cand)

@@ -506,3 +506,33 @@ def test_epoch_over_curated_export(ray_session, sf_dir, tmp_path):
     # epoch order differs from epoch 0's
     c = epoch_dataset_from_export(out, epoch=0).to_pandas()
     assert list(c["doc_id"]) != list(a["doc_id"])
+
+
+def test_ivfpq_residual_encoding_recall(ray_session, tmp_path):
+    """by_residual=True (Faiss-default IVFADC): codes quantize v - centroid;
+    recall on clustered vectors >= the non-residual bar with the SAME
+    budget, and the cross-list q.centroid term keeps ranks comparable."""
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.stages.ann import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    vecs = _clustered_vectors(seed=6)
+    df = pd.DataFrame(
+        {"vid": np.arange(len(vecs), dtype="int64"), "v": [list(x) for x in vecs]}
+    )
+    idx = str(tmp_path / "ivfpq_res")
+    build_ivfpq_index(
+        ray.data.from_pandas(df), "vid", "v", idx,
+        num_centroids=8, m=4, seed=9, by_residual=True,
+    )
+    for qi in (23, 123, 333):
+        query = vecs[qi] + 0.05
+        got = ivfpq_index_topk(idx, "vid", "v", query, k=10, nprobe=3, rerank=8)
+        brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
+        recall = len(set(got["vid"]) & set(brute["vid"])) / 10
+        assert recall >= 0.9, (qi, recall)

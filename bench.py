@@ -130,6 +130,7 @@ QUERY_NAMES = [
     "epoch_ingest_order",
     "epoch_token_counts",
     "ann_ivfpq_topk",
+    "epoch_export_order",
 ]
 
 

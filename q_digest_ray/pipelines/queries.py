@@ -3198,6 +3198,51 @@ SELECT epoch, rank, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
 """
 
 
+def epoch_export_order(sf_dir: str, top: int = 10):
+    """The literal curate->train handoff as one operator: curate documents
+    to a partitioned export (exact keep-first dedup x quality gates,
+    resumable sink), then read the committed shards back in deterministic
+    epoch order (pipelines/ingest.epoch_dataset_from_export) and report
+    the first ``top`` train-split docs of epochs 0 and 1 with token
+    counts.  Rows-only: the funnel half is SQL-checked by
+    curation_v2_stats and the order arithmetic by epoch_ingest_order;
+    this entry proves the two legs COMPOSE over the real export layout."""
+    import shutil
+    import tempfile
+
+    from q_digest_ray.pipelines.export import curate_corpus
+    from q_digest_ray.pipelines.ingest import (
+        count_tokens_batch,
+        epoch_dataset_from_export,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="qdr_epoch_export_")
+    try:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        curate_corpus(ds, out_dir)
+        frames = []
+        for epoch in (0, 1):
+            head = epoch_dataset_from_export(
+                out_dir, epoch, columns=["doc_id", "text"]
+            ).limit(top)
+            t = pa.Table.from_pandas(head.to_pandas())
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "epoch": np.full(t.num_rows, epoch, dtype=np.int64),
+                        "rank": np.arange(1, t.num_rows + 1, dtype=np.int64),
+                        "doc_id": t["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        "n_tokens": count_tokens_batch(t),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def epoch_token_counts(sf_dir: str):
     """EXACT per-split doc/token totals — the consumption-volume invariant
     a trainer checks per epoch (one map-only pass + bounded combine; the
@@ -6898,6 +6943,7 @@ SKETCH_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "epoch_export_order": epoch_export_order,
     "embedding_cluster_sizes": embedding_cluster_sizes,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,

@@ -76,15 +76,29 @@ def split_bucket(doc_id: np.ndarray) -> np.ndarray:
 _SPLIT_RANGE = {"train": (0, 80), "val": (80, 90), "test": (90, 100), "all": (0, 100)}
 
 
-def _epoch_order(ds, epoch: int, split: str, seed: int, id_col: str = "doc_id"):
-    """split-filter + order-key tag + the one global order sort."""
+def _epoch_order(
+    ds,
+    epoch: int,
+    split: str,
+    seed: int,
+    id_col: str = "doc_id",
+    consumer: int | None = None,
+    n_consumers: int = 1,
+):
+    """split-filter (+ optional deterministic consumer-shard filter:
+    order_key % n == consumer) + order-key tag + the one global order
+    sort."""
     lo, hi = _SPLIT_RANGE[split]
 
     def tag(batch: pa.Table) -> pa.Table:
         did = batch[id_col].to_numpy(zero_copy_only=False)
         b = split_bucket(did)
-        batch = batch.append_column("_order", pa.array(order_key(did, epoch, seed)))
-        return batch.filter(pa.array((b >= lo) & (b < hi)))
+        k = order_key(did, epoch, seed)
+        keep = (b >= lo) & (b < hi)
+        if consumer is not None:
+            keep &= k % np.int64(n_consumers) == consumer
+        batch = batch.append_column("_order", pa.array(k))
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", id_col])
 
@@ -160,19 +174,26 @@ def epoch_shard(
     """Deterministic per-consumer shard: docs with order_key % n == i,
     epoch-ordered.  Shards are disjoint, cover the split exactly, and are
     reproducible per consumer (the property streaming_split trades away)."""
-    lo, hi = _SPLIT_RANGE[split]
-
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return _epoch_order(ds, epoch, split, seed, consumer=consumer, n_consumers=n_consumers)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        b = split_bucket(did)
-        k = order_key(did, epoch, seed)
-        keep = (b >= lo) & (b < hi) & (k % np.int64(n_consumers) == consumer)
-        batch = batch.append_column("_order", pa.array(k))
-        return batch.filter(pa.array(keep))
 
-    return ds.map_batches(tag, batch_format="pyarrow").sort(["_order", "doc_id"])
+def epoch_shard_from_export(
+    export_dir: str,
+    epoch: int,
+    consumer: int,
+    n_consumers: int,
+    split: str = "train",
+    seed: int = 0,
+    columns: list[str] | None = None,
+):
+    """epoch_shard over a curated-export directory (the
+    epoch_dataset_from_export layout) — the full data-parallel trainer
+    handoff: disjoint deterministic shards of the committed corpus."""
+    import ray.data
+
+    ds = ray.data.read_parquet(export_dir, columns=columns)
+    return _epoch_order(ds, epoch, split, seed, consumer=consumer, n_consumers=n_consumers)
 
 
 def epoch_splits(

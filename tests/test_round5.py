@@ -536,3 +536,25 @@ def test_ivfpq_residual_encoding_recall(ray_session, tmp_path):
         brute = brute_force_topk(ray.data.from_pandas(df), "vid", "v", query, k=10)
         recall = len(set(got["vid"]) & set(brute["vid"])) / 10
         assert recall >= 0.9, (qi, recall)
+
+
+def test_epoch_shard_from_export(ray_session, sf_dir, tmp_path):
+    from q_digest_ray.pipelines.export import curate_corpus
+    from q_digest_ray.pipelines.ingest import (
+        epoch_dataset_from_export,
+        epoch_shard_from_export,
+    )
+    from q_digest_ray.sources.tables import read_table
+
+    out = str(tmp_path / "curated")
+    curate_corpus(read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]), out)
+    full = epoch_dataset_from_export(out, epoch=2).to_pandas()["doc_id"].tolist()
+    parts = []
+    for i in range(2):
+        a = epoch_shard_from_export(out, 2, i, 2).to_pandas()["doc_id"].tolist()
+        b = epoch_shard_from_export(out, 2, i, 2).to_pandas()["doc_id"].tolist()
+        assert a == b
+        parts.append(a)
+    flat = [d for p in parts for d in p]
+    assert sorted(flat) == sorted(full)
+    assert len(set(flat)) == len(flat)

@@ -558,3 +558,44 @@ def test_epoch_shard_from_export(ray_session, sf_dir, tmp_path):
     flat = [d for p in parts for d in p]
     assert sorted(flat) == sorted(full)
     assert len(set(flat)) == len(flat)
+
+
+def test_shipping_priority_fallback_branch_equivalence(ray_session, sf_dir):
+    """The >5M-key bucketed-semi fallback must produce the identical
+    result as the broadcast-semi path (forced via a patched Dataset.limit
+    so the gate sees an over-threshold dimension)."""
+    import unittest.mock as um
+
+    import ray.data
+
+    from q_digest_ray.pipelines.queries import shipping_priority
+
+    fast = shipping_priority(sf_dir)
+
+    real_limit = ray.data.Dataset.limit
+
+    class FakeBig:
+        """limit(N+1) result that looks bigger than the threshold."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def to_pandas(self):
+            df = self._inner.to_pandas()
+            # pad with dummy rows so len(head) > lim triggers the fallback;
+            # the fallback path re-reads cust_f itself, so the padding
+            # never reaches the join
+            import pandas as pd
+
+            pad = pd.DataFrame({"c_custkey": [-1] * (5_000_001 - len(df) + 1)})
+            return pd.concat([df, pad], ignore_index=True)
+
+    def fake_limit(self, n):
+        if n == 5_000_001:
+            return FakeBig(real_limit(self, n))
+        return real_limit(self, n)
+
+    with um.patch.object(ray.data.Dataset, "limit", fake_limit):
+        slow = shipping_priority(sf_dir)
+
+    pd.testing.assert_frame_equal(fast, slow)

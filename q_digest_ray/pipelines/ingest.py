@@ -52,6 +52,14 @@ _M1 = 1000003
 _A = 2654435761
 _M2 = 1000000007
 _EPOCH_PRIME = 40503
+# second mixing prime for the ORDER key: a single `doc_id % 1e6`-based
+# hash has only ~1e6 distinct values, so at 10^12 docs the "shuffle"
+# would collapse into million-sized doc_id-ordered tie runs.  Mixing two
+# coprime residues is injective up to ~p1*p2 ≈ 1e12 ids (CRT), leaving
+# only the benign ~n/M2 hash ties (≈1e3 random docs per key at 1e12 —
+# no locality, ids within a tie are unrelated).
+_P2 = 999983
+_A2 = 40499
 
 
 def order_key(doc_id: np.ndarray, epoch: int, seed: int = 0) -> np.ndarray:
@@ -59,10 +67,11 @@ def order_key(doc_id: np.ndarray, epoch: int, seed: int = 0) -> np.ndarray:
     (a constant multiplier mod M2 is a genuine permutation of the key
     space); an *additive* term would be a mere rotation, which preserves
     sort order except at the wraparound — epochs would share one order.
-    int64-safe: (M2-1) * (epoch*40503+17+seed*97) < 2^63 for epochs into
-    the tens of thousands."""
+    int64-safe: max intermediate ≈ 1e6*2.65e9 + 1e6*4.05e4 < 2^63, and
+    (M2-1) * (epoch*40503+17+seed*97) < 2^63 for epochs into the tens of
+    thousands."""
     did = doc_id.astype(np.int64)
-    base = (did % _M1) * np.int64(_A) % np.int64(_M2)
+    base = ((did % _M1) * np.int64(_A) + (did % _P2) * np.int64(_A2)) % np.int64(_M2)
     mult = np.int64(epoch * _EPOCH_PRIME + 17 + seed * 97)
     return base * mult % np.int64(_M2)
 

@@ -3185,8 +3185,8 @@ WITH base AS (
   FROM documents
 ), e AS (
   SELECT ep.epoch, doc_id, n_tokens,
-         ((doc_id % 1000003) * 2654435761) % 1000000007
-           * (ep.epoch * 40503 + 17) % 1000000007 AS okey
+         ((doc_id % 1000003) * 2654435761 + (doc_id % 999983) * 40499)
+           % 1000000007 * (ep.epoch * 40503 + 17) % 1000000007 AS okey
   FROM base, (SELECT unnest([0, 1]) AS epoch) ep
   WHERE b < 80
 )

@@ -2201,16 +2201,18 @@ def stratified_sample(sf_dir: str, n_per_group: int = 10):
     reproducible on ANY partitioning — the sample key is a pure function
     of doc_id, so Ray and SQL rank identically with no RNG state.
 
-    The key ((doc_id % 1000003) * 2654435761) % 1000000007 (Knuth
-    multiplicative hash over two primes) keeps every intermediate below
-    2^52, so int64 arithmetic is exact on both sides at any doc_id scale.
+    The key mixes two coprime residues (CRT-injective to ~1e12 ids —
+    a single %1000003 base has only ~1e6 distinct values, which at
+    10^12 docs would bias the per-key doc_id tie-break toward small
+    ids); every intermediate stays below 2^53, so int64 arithmetic is
+    exact on both sides at any doc_id scale.
     Per-batch per-lang top-n candidates (vectorized sort) → final re-rank
     of #blocks x langs x n rows; row shuffle volume is candidates only."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        key = ((did % 1000003) * 2654435761) % 1000000007
+        key = ((did % 1000003) * 2654435761 + (did % 999983) * 40499) % 1000000007
         df = pd.DataFrame(
             {
                 "lang": batch["lang"].to_pandas(),
@@ -2238,7 +2240,8 @@ SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (
   SELECT lang, doc_id,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id
+           ORDER BY ((doc_id % 1000003) * 2654435761
+                     + (doc_id % 999983) * 40499) % 1000000007, doc_id
          ) AS rn
   FROM documents
 ) WHERE rn <= 10 ORDER BY lang, rn

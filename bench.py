@@ -73,6 +73,7 @@ QUERY_NAMES = [
     "embedding_cluster_sizes",
     "props_value_by_type",
     "normalized_dedup_by_source",
+    "ngram_jaccard_dups",
     "top_bigrams",
     "stratified_sample",
     "value_band_join",

@@ -6859,6 +6859,84 @@ FROM documents"""
 ) + "\nORDER BY col_name"
 
 
+def ngram_jaccard_dups(
+    sf_dir: str,
+    w: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100,
+    num_buckets: int | None = None,
+):
+    """EXACT n-gram Jaccard near-dup pairs (the brief's fourth dedup
+    family, distinct from its MinHash ESTIMATE): every doc pair whose
+    distinct word-trigram Jaccard >= threshold, with exact intersection /
+    union sizes — computed by a distributed inverted index
+    (``stages/dedup.ngram_jaccard_pairs_ds``), never all-pairs.
+
+    Shingles in more than ``df_cap`` docs are dropped from both sides of
+    the ratio; the oracle applies the same HAVING filter, so values match
+    at any cap (at sf0.01 max df is 7 — the cap never binds).  Shingle
+    identity is a 64-bit rolling token-hash: two shingles collide with
+    p ~ 2^-64, the same content-key argument as dedup_exact.  Output is
+    threshold-filtered (small by construction) before collecting."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+    from q_digest_ray.stages.dedup import ngram_jaccard_pairs_ds
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs_ds(
+        ds,
+        "doc_id",
+        "text",
+        w=w,
+        threshold=threshold,
+        df_cap=df_cap,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_common": pd.Series(dtype="int64"),
+                "n_union": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    out["jaccard"] = [duckdb_round_double(x, 6) for x in out["jaccard"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS shingle
+  FROM w, unnest(generate_series(1, len(s)-2)) AS t(i)
+  WHERE s[i] <> '' AND s[i+1] <> '' AND s[i+2] <> ''
+), df AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+), shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM shf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.nsh + sb.nsh - n_common AS BIGINT) AS n_union,
+       round(CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -6886,6 +6964,7 @@ EXACT_QUERIES = {
     "cumulative_spend": (cumulative_spend, CUMULATIVE_SPEND_SQL),
     "props_value_by_type": (props_value_by_type, PROPS_VALUE_BY_TYPE_SQL),
     "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),

@@ -1110,3 +1110,351 @@ def embedding_dup_pairs(
     return (
         out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
+
+
+def strict_shingle_doc_pairs(texts, w: int = 3):
+    """Distinct (shingle_hash, doc_index) pairs with NO short-doc fallback.
+
+    Unlike ``shingle_hashes`` (whose whole-doc fallback keeps short docs
+    inside MinHash signatures), docs with fewer than ``w`` tokens
+    contribute nothing — exactly the window set a SQL
+    ``generate_series(1, len(tokens)-w+1)`` shingling produces, which is
+    what the exact n-gram-Jaccard oracle needs for value parity.
+    """
+    h, off = _token_hashes(texts)
+    n_docs = len(off) - 1
+    tok_counts = off[1:] - off[:-1]
+    counts = np.maximum(tok_counts - (w - 1), 0)
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    doc_of_window = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    win_rank = np.arange(total, dtype=np.int64) - out_off[:-1][doc_of_window]
+    starts = off[:-1][doc_of_window] + win_rank
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(w):
+        acc = splitmix64(acc * np.uint64(0x100000001B3) + h[starts + j])
+    return _uniq_per_doc(acc, out_off, n_docs)
+
+
+def ngram_jaccard_pairs_ds(
+    ds,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100,
+    num_buckets: int | None = None,
+    size_broadcast_limit: int = 5_000_000,
+):
+    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index.
+
+    Not a MinHash estimate: every pair of docs whose distinct w-shingle
+    Jaccard reaches ``threshold`` is found with its exact intersection /
+    union sizes.  Shingles seen in more than ``df_cap`` docs (boilerplate)
+    are excluded from BOTH intersection and union — the standard df cutoff
+    that bounds candidate-pair fan-out to C(df_cap, 2) per shingle; an SQL
+    oracle applying the same HAVING filter computes identical values, so
+    the cutoff is a shared semantic, not an engine approximation.
+
+    Coarse-bucket exchanges only, each moving fixed-width rows (never
+    texts).  Stage 1 groups (shingle_hash, doc) rows BY SHINGLE; per
+    bucket: df filter, per-doc kept-shingle-count partials, and all
+    co-occurring doc pairs with their in-bucket intersection counts (a
+    shingle lives in exactly one bucket, so pair partials are disjoint).
+    Then, below ``size_broadcast_limit`` docs, the per-doc size table is
+    collected + ``ray.put`` once and the pair partials take ONE more
+    exchange keyed by pair hash (sum partials, look both sizes up in the
+    broadcast, score) — pairs, the dominant volume, cross the wire once.
+    Past the gate (broadcasting billions of doc sizes is not an option)
+    the pairs instead take two bucketed joins: regroup BY hash(doc_a) to
+    sum partials and attach |A| (a pair's partials all land in a's
+    bucket, where a's size partials also live), then BY hash(doc_b) to
+    attach |B| and score.  Both paths are exact and parity-tested.
+
+    Returns a Dataset of (doc_a, doc_b, n_common, n_union, jaccard) —
+    threshold-filtered, so small; callers may collect it.
+    """
+    B = num_buckets or derive_buckets(ds)
+    try:
+        n_docs_total = ds.count()
+    except Exception:  # pragma: no cover - count unavailable → scale path
+        n_docs_total = None
+    broadcast_sizes = (
+        n_docs_total is not None and n_docs_total <= size_broadcast_limit
+    )
+    _ROW = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("val", pa.int64()),
+        ]
+    )
+    _PAIR = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("side", pa.int8()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("val", pa.int64()),
+            ("n_a", pa.int64()),
+        ]
+    )
+    _OUT = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("n_common", pa.int64()),
+            ("n_union", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "sh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                }
+            )
+        sh, d = strict_shingle_doc_pairs(batch[text_col], w=w)
+        ids = (
+            batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[d]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((sh % np.uint64(B)).astype(np.int32)),
+                "sh": pa.array(sh.view(np.int64)),
+                "doc": pa.array(ids),
+            }
+        )
+
+    def per_shingle_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        doc = g["doc"].to_numpy()
+        order = np.lexsort((doc, sh))
+        s, d = sh[order], doc[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        keep = cnt[gid] <= df_cap
+        s, d = s[keep], d[keep]
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int32"),
+                "side": pd.Series(dtype="int8"),
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "val": pd.Series(dtype="int64"),
+            }
+        )
+        if len(s) == 0:
+            return empty
+        # per-doc kept-shingle-count partials (doc sizes, this bucket's part)
+        docs_u, size_part = np.unique(d, return_counts=True)
+        sizes = pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(docs_u.astype(np.uint64)) % np.uint64(B)
+                ).astype(np.int32),
+                "side": np.ones(len(docs_u), np.int8),
+                "a": docs_u,
+                "b": np.zeros(len(docs_u), np.int64),
+                "val": size_part.astype(np.int64),
+            }
+        )
+        # all co-occurring (a < b) pairs, batched by group size: docs are
+        # sorted ascending within each shingle's run, so triu gives a < b
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        k = np.diff(np.append(starts, len(s)))
+        multi = k >= 2
+        starts, k = starts[multi], k[multi]
+        out_a, out_b = [], []
+        for m in np.unique(k):
+            sel = starts[k == m]
+            iu, ju = np.triu_indices(int(m), 1)
+            out_a.append(d[(sel[:, None] + iu[None, :]).ravel()])
+            out_b.append(d[(sel[:, None] + ju[None, :]).ravel()])
+        if not out_a:
+            return pd.concat([empty, sizes], ignore_index=True)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        nb = np.ones(len(a), dtype=bool)
+        nb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(nb)
+        inter = np.diff(np.append(idx, len(a))).astype(np.int64)
+        a, b = a[idx], b[idx]
+        if broadcast_sizes:
+            # pair-hash key: a pair's partials meet in ONE group, scored
+            # there against the broadcast size table — pairs cross the
+            # wire once
+            pkey = (
+                splitmix64(
+                    a.astype(np.uint64) * np.uint64(0x100000001B3)
+                    + b.astype(np.uint64)
+                )
+                % np.uint64(B)
+            ).astype(np.int32)
+        else:
+            pkey = (splitmix64(a.astype(np.uint64)) % np.uint64(B)).astype(
+                np.int32
+            )
+        pairs = pd.DataFrame(
+            {
+                "bucket": pkey,
+                "side": np.zeros(len(a), np.int8),
+                "a": a,
+                "b": b,
+                "val": inter,
+            }
+        )
+        return pd.concat([pairs, sizes], ignore_index=True)
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        sz = (
+            g[g["side"] == 1]
+            .groupby("a", as_index=False)["val"]
+            .sum()
+            .rename(columns={"val": "n_doc"})
+        )
+        out_sizes = pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(sz["a"].to_numpy().astype(np.uint64))
+                    % np.uint64(B)
+                ).astype(np.int32),
+                "side": np.ones(len(sz), np.int8),
+                "a": sz["a"].to_numpy(),
+                "b": np.zeros(len(sz), np.int64),
+                "val": sz["n_doc"].to_numpy().astype(np.int64),
+                "n_a": np.zeros(len(sz), np.int64),
+            }
+        )
+        if len(p) == 0:
+            return out_sizes
+        inter = p.groupby(["a", "b"], as_index=False)["val"].sum()
+        m = inter.merge(sz, on="a", how="left")
+        out_pairs = pd.DataFrame(
+            {
+                "bucket": (
+                    splitmix64(m["b"].to_numpy().astype(np.uint64))
+                    % np.uint64(B)
+                ).astype(np.int32),
+                "side": np.zeros(len(m), np.int8),
+                "a": m["a"].to_numpy(),
+                "b": m["b"].to_numpy(),
+                "val": m["val"].to_numpy().astype(np.int64),
+                "n_a": m["n_doc"].to_numpy().astype(np.int64),
+            }
+        )
+        return pd.concat([out_pairs, out_sizes], ignore_index=True)
+
+    def join_b(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "n_common": pd.Series(dtype="int64"),
+                    "n_union": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        sz = g[g["side"] == 1][["a", "val"]].rename(
+            columns={"a": "b", "val": "n_b"}
+        )
+        m = p.merge(sz, on="b", how="left")
+        union = m["n_a"].to_numpy() + m["n_b"].to_numpy() - m["val"].to_numpy()
+        jac = m["val"].to_numpy() / union
+        ok = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": m["a"].to_numpy()[ok],
+                "doc_b": m["b"].to_numpy()[ok],
+                "n_common": m["val"].to_numpy()[ok].astype(np.int64),
+                "n_union": union[ok].astype(np.int64),
+                "jaccard": jac[ok],
+            }
+        )
+
+    rows2 = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_shingle_bucket, batch_format="pandas")
+    )
+    if not broadcast_sizes:
+        return (
+            rows2.groupby("bucket")
+            .map_groups(join_a, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(join_b, batch_format="pandas")
+        )
+    rows2 = rows2.materialize()  # consumed twice: size collect + pair pass
+    sz = (
+        rows2.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["side"], pa.scalar(1, pa.int8()))
+            ).select(["a", "val"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("a", as_index=False)["val"]
+        .sum()
+        .sort_values("a")
+    )
+    import ray
+
+    sref = ray.put(
+        (sz["a"].to_numpy(np.int64), sz["val"].to_numpy(np.int64))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        v = g["val"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, v = a[o], b[o], v[o]
+        nb = np.ones(len(a), dtype=bool)
+        nb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gidx = np.cumsum(nb) - 1
+        inter = np.bincount(gidx, weights=v).astype(np.int64)
+        idx = np.flatnonzero(nb)
+        a, b = a[idx], b[idx]
+        docs, sizes = ray.get(sref)
+        n_a = sizes[np.searchsorted(docs, a)]
+        n_b = sizes[np.searchsorted(docs, b)]
+        union = n_a + n_b - inter
+        jac = inter / union
+        ok = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": a[ok],
+                "doc_b": b[ok],
+                "n_common": inter[ok],
+                "n_union": union[ok].astype(np.int64),
+                "jaccard": jac[ok],
+            }
+        )
+
+    return (
+        rows2.map_batches(
+            lambda t: t.filter(pc.equal(t["side"], pa.scalar(0, pa.int8()))),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -599,3 +599,90 @@ def test_shipping_priority_fallback_branch_equivalence(ray_session, sf_dir):
         slow = shipping_priority(sf_dir)
 
     pd.testing.assert_frame_equal(fast, slow)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard dedup (round-5 continuation: the brief's 4th family)
+# ---------------------------------------------------------------------------
+
+
+def _njp(texts, **kw):
+    import ray.data
+
+    from q_digest_ray.stages.dedup import ngram_jaccard_pairs_ds
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = ngram_jaccard_pairs_ds(
+        ray.data.from_pandas(df), "doc_id", "text", **kw
+    ).to_pandas()
+    if "doc_a" not in out.columns:  # Ray 2.49 drops empty-block schemas
+        assert out.empty
+        return pd.DataFrame(columns=["doc_a", "doc_b", "n_common", "n_union", "jaccard"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def test_ngram_jaccard_planted_pair(ray_session):
+    # d0/d1 share 5 of 7 distinct trigrams -> j = 5/7; d2 short (<3 tokens)
+    # contributes no shingles; d3 disjoint
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",
+        "q r",
+        "m n o p q r s t",
+    ]
+    out = _njp(texts, w=3, threshold=0.5, num_buckets=8)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.doc_a, row.doc_b) == (0, 1)
+    assert (row.n_common, row.n_union) == (5, 7)
+    assert abs(row.jaccard - 5 / 7) < 1e-12
+    # threshold filter: same corpus, bar above 5/7
+    assert len(_njp(texts, w=3, threshold=0.9, num_buckets=8)) == 0
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_symmetrically(ray_session):
+    # trigram 'a b c' appears in 3 docs; with df_cap=2 it leaves BOTH the
+    # intersection and the union, and the 1-shingle doc drops out entirely
+    texts = ["a b c d e f g h", "a b c d e f g x", "a b c"]
+    out = _njp(texts, w=3, threshold=0.5, df_cap=2, num_buckets=8)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.doc_a, row.doc_b, row.n_common, row.n_union) == (0, 1, 4, 6)
+    # without the cap the dropped shingle returns to both sides
+    out2 = _njp(texts, w=3, threshold=0.5, df_cap=100, num_buckets=8)
+    pair01 = out2[(out2.doc_a == 0) & (out2.doc_b == 1)].iloc[0]
+    assert (pair01.n_common, pair01.n_union) == (5, 7)
+
+
+def test_ngram_jaccard_b_invariant(ray_session, sf_dir):
+    from q_digest_ray.pipelines.queries import ngram_jaccard_dups
+
+    a = ngram_jaccard_dups(sf_dir, num_buckets=8)
+    b = ngram_jaccard_dups(sf_dir, num_buckets=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_fallback_path_matches_broadcast(ray_session, sf_dir):
+    """size_broadcast_limit=0 forces the at-scale two-join path; results
+    must be identical to the gated broadcast path."""
+    import ray.data
+
+    from q_digest_ray.sources.tables import read_table
+    from q_digest_ray.stages.dedup import ngram_jaccard_pairs_ds
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fast = (
+        ngram_jaccard_pairs_ds(ds, "doc_id", "text", num_buckets=8)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        ngram_jaccard_pairs_ds(
+            ds, "doc_id", "text", num_buckets=8, size_broadcast_limit=0
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow[fast.columns])

@@ -686,3 +686,60 @@ def test_ngram_jaccard_fallback_path_matches_broadcast(ray_session, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow[fast.columns])
+
+
+def test_ngram_jaccard_randomized_differential(ray_session):
+    """Randomized differential vs a pure-Python set reference: small vocab
+    forces heavy shingle sharing (df filter + pair paths all exercised)."""
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.stages.dedup import ngram_jaccard_pairs_ds
+
+    rng = np.random.default_rng(377)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(120)
+    ]
+    w, t, cap = 3, 0.3, 40
+
+    # pure-Python reference
+    sets = []
+    for txt in texts:
+        toks = txt.split()
+        sets.append(
+            {tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+        )
+    from collections import Counter
+
+    df = Counter(sh for s in sets for sh in s)
+    sets = [{sh for sh in s if df[sh] <= cap} for s in sets]
+    want = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                want.append((i, j, inter, union))
+    assert want, "fixture must plant qualifying pairs"
+
+    got = (
+        ngram_jaccard_pairs_ds(
+            ray.data.from_pandas(
+                pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+            ),
+            "doc_id",
+            "text",
+            w=w,
+            threshold=t,
+            df_cap=cap,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert [
+        (r.doc_a, r.doc_b, r.n_common, r.n_union) for r in got.itertuples()
+    ] == want

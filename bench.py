@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "props_value_by_type",
     "normalized_dedup_by_source",
     "ngram_jaccard_dups",
+    "embedding_cosine_dups",
     "top_bigrams",
     "stratified_sample",
     "value_band_join",

@@ -6937,6 +6937,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+def embedding_cosine_dups(
+    sf_dir: str, threshold: float = 0.4, num_buckets: int | None = None
+):
+    """EXACT embedding-cosine near-dup pairs — the verification-grade twin
+    of the hyperplane-LSH `embedding_near_dups` (which trades recall for
+    volume): every (id_a < id_b) pair at cosine >= threshold, zero recall
+    loss, SQL-oracle-exact.  Distributed brute force
+    (``stages/dedup.cosine_dup_pairs_ds``): gated broadcast of the
+    normalized matrix + per-block matmul below 1M vectors, bucket-pair
+    cross-join past the gate (quadratic COMPUTE is inherent to an exact
+    answer; memory and exchange stay bounded).  0.4 is this synthetic
+    corpus's qualifying band (max pairwise cosine ~0.51; nearest value
+    sits 1.3e-4 from the bar, so float-order differences vs the oracle
+    cannot flip membership)."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+    from q_digest_ray.stages.dedup import cosine_dup_pairs_ds
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_dup_pairs_ds(
+        ds, "vec_id", "embedding", threshold=threshold, num_buckets=num_buckets
+    ).to_pandas()
+    if "id_a" not in out.columns:  # Ray 2.49 drops empty-block schemas
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+    out["cos_sim"] = [duckdb_round_double(x, 6) for x in out["cos_sim"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+EMBEDDING_COSINE_DUPS_SQL = r"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 EXACT_QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
@@ -6965,6 +7012,7 @@ EXACT_QUERIES = {
     "props_value_by_type": (props_value_by_type, PROPS_VALUE_BY_TYPE_SQL),
     "normalized_dedup_by_source": (normalized_dedup_by_source, NORMALIZED_DEDUP_SQL),
     "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "embedding_cosine_dups": (embedding_cosine_dups, EMBEDDING_COSINE_DUPS_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),

@@ -1458,3 +1458,160 @@ def ngram_jaccard_pairs_ds(
         .groupby("bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def cosine_dup_pairs_ds(
+    ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    num_buckets: int | None = None,
+    broadcast_limit: int = 1_000_000,
+):
+    """EXACT embedding-cosine near-dup pairs — the verification-grade
+    complement of ``embedding_dup_pairs`` (whose hyperplane LSH trades
+    recall for volume): every (i < j) pair with cos >= threshold, no
+    candidate generation, no recall loss.
+
+    Exact all-pairs is inherently quadratic COMPUTE; the two paths bound
+    memory and exchange volume, not the O(N^2/p) flops:
+
+    - below ``broadcast_limit`` vectors: the normalized matrix is built
+      once driver-side and ``ray.put`` (N x d x 8 B — the standard
+      brute-force-verify shape, same gate idea as the ANN query matrix);
+      each task scores its block against the broadcast (one matmul),
+      keeping id_a < id_b so a pair is emitted exactly once.
+    - past the gate: bucket-pair cross join.  Each vector lands in bucket
+      g = hash(id) % B and is REPLICATED to the B tasks (min(g,g'),
+      max(g,g')) that need it — total exchange N x B rows (B ~= sqrt of
+      the task budget), each task an independent block matmul; the g==g'
+      diagonal task uses triu.  Zero-norm vectors score 0 against
+      everything (excluded by any threshold > 0, matching SQL's NaN
+      comparison semantics).
+
+    Returns a Dataset of (id_a, id_b, cos_sim) — threshold-filtered.
+    """
+    from q_digest_ray.stages.ann import _matrix, _normalize
+
+    B = num_buckets or derive_buckets(ds)
+    try:
+        n_total = ds.count()
+    except Exception:  # pragma: no cover
+        n_total = None
+
+    _OUT = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+    )
+
+    if n_total is not None and n_total <= broadcast_limit:
+        import ray
+
+        base = ds.map_batches(
+            lambda t: t.select([id_col, vec_col]).filter(
+                pc.is_valid(t[vec_col])
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        ids = base[id_col].to_numpy(np.int64)
+        mat = _normalize(np.stack(base[vec_col].to_numpy()).astype(np.float64))
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        ref = ray.put((ids, mat))
+
+        def score(batch: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)
+            batch = batch.filter(pc.is_valid(batch[vec_col]))
+            m = _normalize(_matrix(batch[vec_col]))
+            bids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(m) == 0:
+                return _OUT.empty_table()
+            cos = m @ all_mat.T
+            ok = (cos >= threshold) & (bids[:, None] < all_ids[None, :])
+            ii, jj = np.nonzero(ok)
+            return pa.table(
+                {
+                    "id_a": pa.array(bids[ii]),
+                    "id_b": pa.array(all_ids[jj]),
+                    "cos_sim": pa.array(cos[ii, jj]),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+    # bucket-pair cross join (at-scale exact path)
+    def replicate(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[vec_col]))
+        m = _normalize(_matrix(batch[vec_col]))
+        bids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int32()),
+                    "g": pa.array([], pa.int32()),
+                    "id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        g = (splitmix64(bids.astype(np.uint64)) % np.uint64(B)).astype(np.int64)
+        # vector in bucket g joins every task (i, j) with i <= j and
+        # (i == g or j == g): pk enumerates the upper-triangular task grid
+        pks, gs, idxs = [], [], []
+        for other in range(B):
+            i = np.minimum(g, other)
+            j = np.maximum(g, other)
+            pks.append((i * B + j).astype(np.int32))
+            gs.append(g.astype(np.int32))
+            idxs.append(np.arange(len(g)))
+        # every `other` yields a distinct task key for a fixed g (other==g
+        # is the diagonal, hit exactly once), so no dedup is needed
+        pk = np.concatenate(pks)
+        gg = np.concatenate(gs)
+        ix = np.concatenate(idxs)
+        return pa.table(
+            {
+                "pk": pa.array(pk),
+                "g": pa.array(gg),
+                "id": pa.array(bids[ix]),
+                "vec": pa.array(list(m[ix]), pa.list_(pa.float64())),
+            }
+        )
+
+    def cross_score(gr: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if gr.empty:
+            return empty
+        pk = int(gr["pk"].iloc[0])
+        gi, gj = pk // B, pk % B
+        g = gr["g"].to_numpy()
+        ids = gr["id"].to_numpy(np.int64)
+        m = np.stack(gr["vec"].to_numpy())
+        if gi == gj:
+            cos = m @ m.T
+            ok = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(ok)
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cos_sim": cos[ii, jj]}
+            )
+        li, lj = g == gi, g == gj
+        if not li.any() or not lj.any():
+            return empty
+        mi, mj = m[li], m[lj]
+        idi, idj = ids[li], ids[lj]
+        cos = mi @ mj.T
+        ok = cos >= threshold
+        ii, jj = np.nonzero(ok)
+        a = np.minimum(idi[ii], idj[jj])
+        b = np.maximum(idi[ii], idj[jj])
+        return pd.DataFrame({"id_a": a, "id_b": b, "cos_sim": cos[ii, jj]})
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow", batch_size=None)
+        .groupby("pk")
+        .map_groups(cross_score, batch_format="pandas")
+    )

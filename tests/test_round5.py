@@ -743,3 +743,82 @@ def test_ngram_jaccard_randomized_differential(ray_session):
     assert [
         (r.doc_a, r.doc_b, r.n_common, r.n_union) for r in got.itertuples()
     ] == want
+
+
+# ---------------------------------------------------------------------------
+# exact embedding-cosine near-dup (r5c — verification-grade twin of the LSH)
+# ---------------------------------------------------------------------------
+
+
+def _cdp(ids, vecs, **kw):
+    import numpy as np
+    import ray.data
+
+    from q_digest_ray.stages.dedup import cosine_dup_pairs_ds
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [None if v is None else list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = cosine_dup_pairs_ds(
+        ray.data.from_arrow(t), "vec_id", "embedding", **kw
+    ).to_pandas()
+    if "id_a" not in out.columns:
+        assert out.empty
+        return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def test_cosine_dup_pairs_planted(ray_session):
+    vecs = [
+        [1.0, 0.0, 0.0],   # 0
+        [2.0, 0.0, 0.0],   # 1: scaled copy of 0 -> cos 1
+        [0.0, 1.0, 0.0],   # 2: orthogonal
+        [1.0, 1.0, 0.0],   # 3: cos(0,3)=cos(2,3)=0.7071
+        None,              # 4: null excluded
+        [0.0, 0.0, 0.0],   # 5: zero vector scores 0 -> excluded
+    ]
+    out = _cdp(range(6), vecs, threshold=0.6)
+    got = {(r.id_a, r.id_b): r.cos_sim for r in out.itertuples()}
+    assert set(got) == {(0, 1), (0, 3), (1, 3), (2, 3)}
+    assert abs(got[(0, 1)] - 1.0) < 1e-12
+    assert abs(got[(0, 3)] - 2 ** -0.5) < 1e-12
+    # raising the bar drops the 0.707 pairs, keeps the exact copies
+    out2 = _cdp(range(6), vecs, threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in out2.itertuples()} == {(0, 1)}
+
+
+def test_cosine_dup_pairs_fallback_matches_broadcast(ray_session, sf_dir):
+    import numpy as np
+
+    from q_digest_ray.sources.tables import read_table
+    from q_digest_ray.stages.dedup import cosine_dup_pairs_ds
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fast = (
+        cosine_dup_pairs_ds(ds, "vec_id", "embedding", threshold=0.4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    for B in (2, 8):
+        slow = (
+            cosine_dup_pairs_ds(
+                ds,
+                "vec_id",
+                "embedding",
+                threshold=0.4,
+                num_buckets=B,
+                broadcast_limit=0,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert fast[["id_a", "id_b"]].equals(slow[["id_a", "id_b"]])
+        assert np.allclose(fast["cos_sim"], slow["cos_sim"], atol=1e-12)

@@ -1299,13 +1299,16 @@ def ngram_jaccard_pairs_ds(
         if broadcast_sizes:
             # pair-hash key: a pair's partials meet in ONE group, scored
             # there against the broadcast size table — pairs cross the
-            # wire once
+            # wire once.  The pair key space is widened past B (the
+            # shingle-bucket count, sized for INPUT bytes) because pair
+            # volume is C(df,2)-amplified: more groups = more finish-task
+            # parallelism, results B2-invariant by construction.
             pkey = (
                 splitmix64(
                     a.astype(np.uint64) * np.uint64(0x100000001B3)
                     + b.astype(np.uint64)
                 )
-                % np.uint64(B)
+                % np.uint64(max(B, 32))
             ).astype(np.int32)
         else:
             pkey = (splitmix64(a.astype(np.uint64)) % np.uint64(B)).astype(

@@ -1570,12 +1570,18 @@ def cosine_dup_pairs_ds(
         pk = np.concatenate(pks)
         gg = np.concatenate(gs)
         ix = np.concatenate(idxs)
+        flat = np.ascontiguousarray(m[ix]).reshape(-1)
+        d = m.shape[1]
+        offsets = pa.array(
+            np.arange(0, (len(ix) + 1) * d, d, dtype=np.int32)
+        )
+        vec = pa.ListArray.from_arrays(offsets, pa.array(flat))
         return pa.table(
             {
                 "pk": pa.array(pk),
                 "g": pa.array(gg),
                 "id": pa.array(bids[ix]),
-                "vec": pa.array(list(m[ix]), pa.list_(pa.float64())),
+                "vec": vec,
             }
         )
 

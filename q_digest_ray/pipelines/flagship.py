@@ -29,6 +29,7 @@ def documents_specs() -> list[SketchSpec]:
         SketchSpec("n_chars_qdigest_by_lang", "n_chars", "qdigest", {"k": 256, "universe_bits": 20}, group_by="lang"),
         SketchSpec("n_chars_tdigest", "n_chars", "tdigest", {"delta": 200}),
         SketchSpec("n_chars_kll", "n_chars", "kll", {"k": 200}),
+        SketchSpec("n_chars_dds", "n_chars", "dds", {"alpha": 0.01}),
         SketchSpec("distinct_text_hll", "text", "hll", {"p": 12}),
         SketchSpec("lang_cms", "lang", "cms", {"depth": 5, "width": 2048}),
         SketchSpec("doc_bloom", "doc_id", "bloom", {"num_bits": 1 << 18, "num_hashes": 7}),
@@ -45,6 +46,9 @@ def cc_pages_specs() -> list[SketchSpec]:
         SketchSpec("text_len_by_lang", "text_len", "qdigest", {"k": 256, "universe_bits": 20}, group_by="lang"),
         SketchSpec("text_len_tdigest", "text_len", "tdigest", {"delta": 200}),
         SketchSpec("text_len_kll", "text_len", "kll", {"k": 200}),
+        # tenth family (r5): DDSketch — alpha-relative VALUE error, the
+        # complement of the rank-error quantile sketches above
+        SketchSpec("text_len_dds", "text_len", "dds", {"alpha": 0.01}),
         SketchSpec("distinct_url_hll", "url", "hll", {"p": 12}),
         SketchSpec("host_cms", "url_host", "cms", {"depth": 5, "width": 4096}),
         SketchSpec("lang_cms", "lang", "cms", {"depth": 5, "width": 2048}),
@@ -64,7 +68,7 @@ def finalize(sketches: dict[tuple[str, str], object]) -> pd.DataFrame:
     rows = []
     for (metric, key), sk in sorted(sketches.items()):
         kind = type(sk).kind
-        if kind in ("qdigest", "tdigest", "kll"):
+        if kind in ("qdigest", "tdigest", "kll", "dds"):
             for p in QUANTILE_PS:
                 rows.append((metric, key, f"p{int(p * 100)}", float(sk.quantile(p))))
             rows.append((metric, key, "n", float(sk.n)))
@@ -105,9 +109,9 @@ def run_documents_flagship(
 def run_cc_pages_flagship(
     cc_dir: str, batch_size: int | None = None, concurrency=None
 ) -> pd.DataFrame:
-    """The bench headline: extraction + projection + 12 sketches (all nine
-    families, incl. the beyond-spec KMV / Misra-Gries / SampleSketch) over
-    the synthetic Common-Crawl-style table."""
+    """The bench headline: extraction + projection + 13 sketches (all ten
+    families, incl. the beyond-spec KMV / Misra-Gries / SampleSketch /
+    DDSketch) over the synthetic Common-Crawl-style table."""
     from q_digest_ray.sources.cc_pages import read_cc_pages
 
     ds = read_cc_pages(cc_dir, columns=["url", "html", "lang"])

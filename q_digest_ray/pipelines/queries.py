@@ -3906,6 +3906,18 @@ def sk_kll_nchars(sf_dir: str):
     )
 
 
+def sk_ddsketch_nchars(sf_dir: str):
+    """DDSketch (tenth family, r5): alpha=1% RELATIVE-value-error quantiles
+    of documents.n_chars — the complement of the rank-error sketches; the
+    distributed alpha bound vs exact is asserted in tests/test_ddsketch.py."""
+    return _sketch_stats(
+        sf_dir,
+        "documents",
+        ["n_chars"],
+        [SketchSpec("n_chars_dds", "n_chars", "dds", {"alpha": 0.01})],
+    )
+
+
 def sk_hll_distinct_users(sf_dir: str):
     return _sketch_stats(
         sf_dir,
@@ -7082,6 +7094,7 @@ SKETCH_QUERIES = {
     "sk_qdigest_nchars_by_lang": sk_qdigest_nchars_by_lang,
     "sk_tdigest_event_values": sk_tdigest_event_values,
     "sk_kll_nchars": sk_kll_nchars,
+    "sk_ddsketch_nchars": sk_ddsketch_nchars,
     "sk_kll_weighted_nchars": sk_kll_weighted_nchars,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,

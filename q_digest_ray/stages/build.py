@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 from q_digest_ray.sketches.base import sketch_from_bytes
 from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.cms import CountMinSketch
+from q_digest_ray.sketches.ddsketch import DDSketch
 from q_digest_ray.sketches.hll import HyperLogLog
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
@@ -35,6 +36,7 @@ from q_digest_ray.sketches.tdigest import TDigest
 
 _KINDS = {
     "qdigest": QDigest,
+    "dds": DDSketch,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
     "bloom": BloomFilter,

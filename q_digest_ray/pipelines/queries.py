@@ -3918,6 +3918,27 @@ def sk_ddsketch_nchars(sf_dir: str):
     )
 
 
+def sk_native_udaf(sf_dir: str):
+    """Sketches through the STOCK Ray Data aggregation API (stages/udaf.py,
+    r5): one ds.aggregate call fusing three sketch UDAFs — DDSketch p50/p99
+    of n_chars and an HLL distinct-text estimate.  Same estimates as the
+    two-phase pipeline (exact-merge kinds); equality is asserted in
+    tests/test_udaf.py."""
+    from q_digest_ray.stages.udaf import distinct_aggregate, quantile_aggregate
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars", "text"])
+    spec_dds = SketchSpec("n_chars_dds", "n_chars", "dds", {"alpha": 0.01})
+    spec_hll = SketchSpec("text_hll", "text", "hll", {"p": 12})
+    out = ds.aggregate(
+        quantile_aggregate(spec_dds, 0.5),
+        quantile_aggregate(spec_dds, 0.99),
+        distinct_aggregate(spec_hll),
+    )
+    return pd.DataFrame(
+        {"stat": sorted(out), "value": [float(out[k]) for k in sorted(out)]}
+    )
+
+
 def sk_hll_distinct_users(sf_dir: str):
     return _sketch_stats(
         sf_dir,
@@ -7095,6 +7116,7 @@ SKETCH_QUERIES = {
     "sk_tdigest_event_values": sk_tdigest_event_values,
     "sk_kll_nchars": sk_kll_nchars,
     "sk_ddsketch_nchars": sk_ddsketch_nchars,
+    "sk_native_udaf": sk_native_udaf,
     "sk_kll_weighted_nchars": sk_kll_weighted_nchars,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,

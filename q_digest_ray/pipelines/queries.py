@@ -3939,6 +3939,26 @@ def sk_native_udaf(sf_dir: str):
     )
 
 
+def sk_fd_spectrum(sf_dir: str):
+    """Frequent Directions matrix sketch (r5, eleventh family): the top
+    spectrum of the embedding corpus covariance WITHOUT materializing the
+    n x d matrix anywhere — per-block ell x d partials merge through the
+    same sketch-row exchange as every scalar sketch.  Emits the top-8
+    approximate singular values plus the sketch's carried exact spectral-
+    error certificate (tests/test_freq_directions.py asserts the bound
+    against exact numpy SVD at sf0.001)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    rows = build_sketches(
+        ds, [SketchSpec("emb_fd", "embedding", "fd", {"ell": 64})]
+    )
+    sk = collect_sketches(merge_grouped(rows))[("emb_fd", "")]
+    sv = sk.singular_values()[:8]
+    stats = [(f"sv{i}", float(v)) for i, v in enumerate(sv)]
+    stats.append(("error_bound", float(sk.error_bound())))
+    stats.append(("n", float(sk.n)))
+    return pd.DataFrame({"stat": [k for k, _ in stats], "value": [v for _, v in stats]})
+
+
 def sk_hll_distinct_users(sf_dir: str):
     return _sketch_stats(
         sf_dir,
@@ -7117,6 +7137,7 @@ SKETCH_QUERIES = {
     "sk_kll_nchars": sk_kll_nchars,
     "sk_ddsketch_nchars": sk_ddsketch_nchars,
     "sk_native_udaf": sk_native_udaf,
+    "sk_fd_spectrum": sk_fd_spectrum,
     "sk_kll_weighted_nchars": sk_kll_weighted_nchars,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_cms_event_types": sk_cms_event_types,

@@ -26,6 +26,7 @@ from q_digest_ray.sketches.base import sketch_from_bytes
 from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.cms import CountMinSketch
 from q_digest_ray.sketches.ddsketch import DDSketch
+from q_digest_ray.sketches.freq_directions import FrequentDirections
 from q_digest_ray.sketches.hll import HyperLogLog
 from q_digest_ray.sketches.kll import KLL
 from q_digest_ray.sketches.kmv import KMV
@@ -45,6 +46,7 @@ _KINDS = {
     "kmv": KMV,
     "mg": MisraGries,
     "sample": SampleSketch,
+    "fd": FrequentDirections,
 }
 
 GLOBAL_KEY = ""
@@ -88,9 +90,15 @@ class SketchSpec:
 
 
 def _column_values(col: pa.ChunkedArray, kind: str):
-    """Numeric sketches take numpy; hashing sketches take the Arrow array."""
+    """Numeric sketches take numpy; hashing sketches take the Arrow array;
+    the matrix sketch takes a list<float> column flattened to an (n, d)
+    row block (flatten() honors slice offsets)."""
     if kind in ("hll", "cms", "bloom", "kmv", "sample"):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if kind == "fd":
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(arr), -1) if len(arr) else np.zeros((0, 0))
     return col.to_numpy(zero_copy_only=False)
 
 
@@ -179,7 +187,7 @@ class SketchBuilder:
                 bounds = np.r_[starts, len(sorted_codes)]
                 col_np = None
                 if not hashing:
-                    col_np = flat.to_numpy(zero_copy_only=False)
+                    col_np = _column_values(flat, spec.kind)
                 for gi in range(len(starts)):
                     sel = order[bounds[gi] : bounds[gi + 1]]
                     if valid_idx is not None:

@@ -7037,7 +7037,61 @@ ORDER BY id_a, id_b
 """
 
 
+def running_total_events(sf_dir: str, num_buckets: int | None = None):
+    """Distributed ordered PREFIX SCAN (stages/scan.py, r5): the exact
+    running sum of events.value over the total order (ts, event_id) —
+    SUM() OVER (ORDER BY ...) at cluster scale.  Two-phase: per-epoch-hour
+    partial sums, driver-side exclusive prefix over the tiny hour table
+    (broadcast), then one coarse bucketed exchange co-locating each hour for
+    the seeded within-hour cumsum.  Exact int-cents arithmetic both phases
+    (functions/fixedpoint.py)."""
+    from q_digest_ray.stages.scan import running_total
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+    out = running_total(ds, num_buckets=num_buckets).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+              OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) AS running_sum
+FROM events ORDER BY event_id
+"""
+
+
+def late_events(sf_dir: str):
+    """Event-time WATERMARK with allowed lateness, replayed exactly over the
+    batch table (stages/scan.py, r5): arrival order := event_id; watermark
+    at a row = max event-time over strictly preceding arrivals minus 300 s;
+    the census counts late rows per event_type.  Same two-phase exclusive
+    prefix-scan shape as running_total_events, with a prefix MAX over
+    fixed arrival-id ranges."""
+    from q_digest_ray.stages.scan import late_event_census
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return late_event_census(ds, lateness_seconds=300)
+
+
+LATE_EVENTS_SQL = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(coalesce(sum(CASE WHEN ts < wm - INTERVAL 300 SECOND
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXACT_QUERIES = {
+    "running_total_events": (running_total_events, RUNNING_TOTAL_SQL),
+    "late_events": (late_events, LATE_EVENTS_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
     "distinct_text_count": (distinct_text_count, DISTINCT_TEXT_SQL),

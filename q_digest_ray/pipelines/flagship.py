@@ -32,6 +32,9 @@ def documents_specs() -> list[SketchSpec]:
         SketchSpec("n_chars_dds", "n_chars", "dds", {"alpha": 0.01}),
         SketchSpec("distinct_text_hll", "text", "hll", {"p": 12}),
         SketchSpec("lang_cms", "lang", "cms", {"depth": 5, "width": 2048}),
+        # eleventh family (r5): Count-Sketch — unbiased two-sided frequency
+        # + F2/join-size estimates, turnstile-capable (CMS's complement)
+        SketchSpec("lang_csk", "lang", "csk", {"depth": 5, "width": 2048}),
         SketchSpec("doc_bloom", "doc_id", "bloom", {"num_bits": 1 << 18, "num_hashes": 7}),
         SketchSpec("distinct_text_kmv", "text", "kmv", {"k": 1024}),
         SketchSpec("lang_mg", "lang", "mg", {"k": 8}),
@@ -51,6 +54,7 @@ def cc_pages_specs() -> list[SketchSpec]:
         SketchSpec("text_len_dds", "text_len", "dds", {"alpha": 0.01}),
         SketchSpec("distinct_url_hll", "url", "hll", {"p": 12}),
         SketchSpec("host_cms", "url_host", "cms", {"depth": 5, "width": 4096}),
+        SketchSpec("host_csk", "url_host", "csk", {"depth": 5, "width": 4096}),
         SketchSpec("lang_cms", "lang", "cms", {"depth": 5, "width": 2048}),
         SketchSpec("url_bloom", "url", "bloom", {"num_bits": 1 << 22, "num_hashes": 7}),
         # the three beyond-spec families, through the same build/merge path
@@ -76,6 +80,9 @@ def finalize(sketches: dict[tuple[str, str], object]) -> pd.DataFrame:
             rows.append((metric, key, "distinct_estimate", float(sk.estimate())))
             rows.append((metric, key, "n", float(sk.n)))
         elif kind == "cms":
+            rows.append((metric, key, "n", float(sk.n)))
+        elif kind == "csk":
+            rows.append((metric, key, "f2_estimate", float(sk.f2_estimate())))
             rows.append((metric, key, "n", float(sk.n)))
         elif kind == "bloom":
             rows.append((metric, key, "fill_ratio", float(sk.fill_ratio())))
@@ -109,9 +116,9 @@ def run_documents_flagship(
 def run_cc_pages_flagship(
     cc_dir: str, batch_size: int | None = None, concurrency=None
 ) -> pd.DataFrame:
-    """The bench headline: extraction + projection + 13 sketches (all ten
-    families, incl. the beyond-spec KMV / Misra-Gries / SampleSketch /
-    DDSketch) over the synthetic Common-Crawl-style table."""
+    """The bench headline: extraction + projection + 14 sketches (all
+    eleven families, incl. the beyond-spec KMV / Misra-Gries / SampleSketch
+    / DDSketch / Count-Sketch) over the synthetic Common-Crawl table."""
     from q_digest_ray.sources.cc_pages import read_cc_pages
 
     ds = read_cc_pages(cc_dir, columns=["url", "html", "lang"])

@@ -6477,6 +6477,63 @@ def sk_skew_f2(sf_dir: str):
     )
 
 
+def sk_csk_join_size(sf_dir: str):
+    """JOIN-SIZE ESTIMATION by Count-Sketch inner product (AMS tug-of-war,
+    Alon-Matias-Szegedy 1996): |view ⋈ purchase on user_id| = Σ_u f_v(u)·f_p(u)
+    estimated from two linear sketches built in ONE grouped map-only pass
+    (SketchSpec group_by=event_type → one CountSketch per type), beside the
+    exact join size from per-batch count partials.  This is the cardinality
+    estimate a planner consults BEFORE choosing broadcast-vs-shuffle join —
+    unbiased and two-sided, unlike CMS's overcount-only inner product.
+    Sketch estimates are not SQL-expressible → rows-only oracle; the
+    estimator's error bound (4·√(F2_a·F2_b/width)) is asserted in
+    tests/test_countsketch.py::test_inner_product_join_size."""
+    params = {"depth": 7, "width": 1 << 14}
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    sks = collect_sketches(
+        merge_grouped(
+            build_sketches(
+                ev,
+                [SketchSpec("u", "user_id", "csk", params, group_by="event_type")],
+            )
+        )
+    )
+    est = sks[("u", "view")].inner_product(sks[("u", "purchase")])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = batch.filter(mask)
+        vc = pa.table(
+            {"user_id": t["user_id"], "event_type": t["event_type"]}
+        ).group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "user_id": vc["user_id"],
+                "event_type": vc["event_type"],
+                "c": vc["user_id_count"].cast(pa.int64()),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(c=("c", "sum"))
+        piv = g.pivot_table(index="user_id", columns="event_type", values="c", fill_value=0)
+        fv = piv.get("view", pd.Series(dtype=np.int64)).to_numpy()
+        fp = piv.get("purchase", pd.Series(dtype=np.int64)).to_numpy()
+        exact = int((fv.astype(object) * fp.astype(object)).sum())
+        return pd.DataFrame({"join_size_exact": [exact]})
+
+    exact = int(two_phase(ev, partial, final).to_pandas()["join_size_exact"][0])
+    return pd.DataFrame(
+        {
+            "join_size_est": [int(est)],
+            "join_size_exact": [exact],
+            "rel_err": [round(abs(est - exact) / max(exact, 1), 4)],
+            "n_view": [int(sks[("u", "view")].n)],
+            "n_purchase": [int(sks[("u", "purchase")].n)],
+        }
+    )
+
+
 def sk_hll_users_by_type(sf_dir: str):
     """GROUPED HLL: one distinct-users sketch per event type, merged
     through the same grouped sketch-row shuffle as every grouped build
@@ -7210,6 +7267,7 @@ SKETCH_QUERIES = {
     "sk_profile": sk_profile,
     "sk_join_size_estimate": sk_join_size_estimate,
     "sk_skew_f2": sk_skew_f2,
+    "sk_csk_join_size": sk_csk_join_size,
     "weighted_sample_docs": weighted_sample_docs,
     "sk_drift_monitor": sk_drift_monitor,
     "compression_ratio_stats": compression_ratio_stats,

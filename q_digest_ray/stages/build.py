@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 from q_digest_ray.sketches.base import sketch_from_bytes
 from q_digest_ray.sketches.bloom import BloomFilter
 from q_digest_ray.sketches.cms import CountMinSketch
+from q_digest_ray.sketches.countsketch import CountSketch
 from q_digest_ray.sketches.ddsketch import DDSketch
 from q_digest_ray.sketches.freq_directions import FrequentDirections
 from q_digest_ray.sketches.hll import HyperLogLog
@@ -40,6 +41,7 @@ _KINDS = {
     "dds": DDSketch,
     "hll": HyperLogLog,
     "cms": CountMinSketch,
+    "csk": CountSketch,
     "bloom": BloomFilter,
     "tdigest": TDigest,
     "kll": KLL,
@@ -93,7 +95,7 @@ def _column_values(col: pa.ChunkedArray, kind: str):
     """Numeric sketches take numpy; hashing sketches take the Arrow array;
     the matrix sketch takes a list<float> column flattened to an (n, d)
     row block (flatten() honors slice offsets)."""
-    if kind in ("hll", "cms", "bloom", "kmv", "sample"):
+    if kind in ("hll", "cms", "csk", "bloom", "kmv", "sample"):
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if kind == "fd":
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -108,7 +110,7 @@ class SketchBuilder:
     def __init__(self, specs: list[SketchSpec]):
         self.specs = list(specs)
 
-    _HASHING_KINDS = ("hll", "cms", "bloom", "kmv")  # sample hashes internally (needs raw values too)
+    _HASHING_KINDS = ("hll", "cms", "csk", "bloom", "kmv")  # sample hashes internally (needs raw values too)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metrics: list[str] = []
@@ -134,9 +136,10 @@ class SketchBuilder:
             hashing = spec.kind in self._HASHING_KINDS
             w_np = None
             if spec.weight_column is not None:
-                if hashing and spec.kind != "cms":
+                if hashing and spec.kind not in ("cms", "csk"):
                     # distinctness/membership sketches are weight-free;
-                    # CMS is a frequency sketch and takes weighted updates
+                    # CMS/Count-Sketch are frequency sketches and take
+                    # weighted updates (csk even negative — turnstile)
                     raise ValueError(
                         f"{spec.kind} is a distinctness sketch — weights undefined"
                     )

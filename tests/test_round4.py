@@ -455,12 +455,12 @@ def test_minhash_streaming_no_dups(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# flagship exercises all ten sketch families (r3 VERDICT missing item 3;
-# DDSketch added in r5)
+# flagship exercises all eleven sketch families (r3 VERDICT missing item 3;
+# DDSketch + Count-Sketch added in r5)
 # ---------------------------------------------------------------------------
 
 
-def test_flagship_covers_all_ten_families(ray_session):
+def test_flagship_covers_all_eleven_families(ray_session):
     from q_digest_ray.pipelines.flagship import (
         cc_pages_specs,
         documents_specs,
@@ -476,6 +476,7 @@ def test_flagship_covers_all_ten_families(ray_session):
             "dds",
             "hll",
             "cms",
+            "csk",
             "bloom",
             "kmv",
             "mg",

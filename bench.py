@@ -133,6 +133,14 @@ QUERY_NAMES = [
     "epoch_token_counts",
     "ann_ivfpq_topk",
     "epoch_export_order",
+    "running_total_events",
+    "late_events",
+    "minhash_dedup_distributed",
+    "sk_ddsketch_nchars",
+    "sk_native_udaf",
+    "sk_fd_spectrum",
+    "sk_csk_join_size",
+    "ngram_contamination",
 ]
 
 

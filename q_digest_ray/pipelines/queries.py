@@ -2027,6 +2027,176 @@ ORDER BY t.doc_id
 """
 
 
+def ngram_contamination(
+    sf_dir: str, k_words: int = 5, num_buckets: int | None = None
+):
+    """TRAIN→EVAL N-GRAM CONTAMINATION audit (the GPT-3 appendix-C /
+    PaLM decontamination shape): an eval-split (val/test) doc is
+    contaminated when ANY of its K-word shingles also occurs in any
+    train-split doc, under the same deterministic 80/10/10 hash routing as
+    ``train_val_test_split`` and the same tokenization as every span pass
+    (``_span_token_view``).
+
+    Distributed as two thin-row exchanges: distinct in-batch
+    (hash64(shingle), doc_id, split) rows bucket BY SHINGLE HASH so each
+    shingle's train/eval doc-sets co-locate (per-bucket vectorized
+    membership via np.isin against the bucket's train-hash set), then the
+    surviving eval (doc_id, split) hit pairs bucket BY DOC so the
+    distinct-contaminated census is exact; the driver folds a ≤3-row table
+    per bucket.  Shingle identity travels as hash64 (16-byte rows, texts
+    never leave the tokenize stage) — a collision could only ADD a false
+    flag, odds ~n_shingles²/2⁶⁴ per bucket (same stance as
+    dup_spans_scalable).  Totals are per-split doc counts over ALL docs
+    (one column-pruned doc_id pass); nothing text-sized ever shuffles."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    K = k_words
+
+    def split_codes(did: np.ndarray) -> np.ndarray:
+        b = ((did % 1000003) * 2654435761) % 1000000007 % 100
+        return np.where(b < 80, 0, np.where(b < 90, 1, 2)).astype(np.int8)
+
+    _EMPTY = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "split": pa.array([], pa.int8()),
+            "bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
+            return _EMPTY
+        # uint64 hashes carried as int64 BIT PATTERNS (fixed cross-block
+        # dtype — see the concomp._signature regression note)
+        h = hash64(sh).view(np.int64)
+        g = (
+            pa.table({"h": pa.array(h), "doc_id": pa.array(doc)})
+            .group_by(["h", "doc_id"])
+            .aggregate([])
+        )
+        hh = g["h"].to_numpy(zero_copy_only=False)
+        dd = g["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h": g["h"],
+                "doc_id": g["doc_id"].cast(pa.int64()),
+                "split": pa.array(split_codes(dd)),
+                "bucket": pa.array(
+                    (hh.view(np.uint64) % np.uint64(B)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_shingle_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        split = g["split"].to_numpy()
+        train_h = np.unique(h[split == 0])
+        hit = (split != 0) & np.isin(h, train_h)
+        out = g.loc[hit, ["doc_id", "split"]].drop_duplicates()
+        out["doc_bucket"] = (
+            hash64(out["doc_id"].to_numpy()) % np.uint64(B)
+        ).astype(np.int32)
+        return out
+
+    def per_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["doc_id", "split"])
+        c = u.groupby("split", as_index=False, sort=False).agg(n=("doc_id", "size"))
+        c["n"] = c["n"].astype(np.int64)
+        return c[["split", "n"]]
+
+    hits = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_shingle_bucket, batch_format="pandas")
+        .groupby("doc_bucket")
+        .map_groups(per_doc_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    contam = {1: 0, 2: 0}
+    if len(hits):
+        for s, n in hits.groupby("split")["n"].sum().items():
+            contam[int(s)] = int(n)
+
+    # totals: per-split doc counts, doc_id column only
+    dids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def tpartial(batch: pa.Table) -> pd.DataFrame:
+        codes = split_codes(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return pd.DataFrame(
+            {
+                "split": np.arange(3, dtype=np.int8),
+                "n": np.bincount(codes, minlength=3).astype(np.int64),
+            }
+        )
+
+    def tfinal(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("split", as_index=False).agg(n=("n", "sum"))
+
+    totals = two_phase(dids, tpartial, tfinal).to_pandas()
+    tot = {int(r["split"]): int(r["n"]) for _, r in totals.iterrows()}
+
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    names = {1: "val", 2: "test"}
+    rows = [
+        {
+            "split": names[s],
+            "n_docs": tot.get(s, 0),
+            "n_contaminated": contam[s],
+            "contamination_pct": duckdb_round_double(
+                contam[s] * 100.0 / tot[s], 4
+            )
+            if tot.get(s)
+            else 0.0,
+        }
+        for s in (2, 1)  # 'test' < 'val' lexicographically
+    ]
+    return pd.DataFrame(rows)
+
+
+NGRAM_CONTAMINATION_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s,
+         ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS b
+  FROM documents WHERE text IS NOT NULL
+), ds AS (
+  SELECT doc_id, s,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+           AS split
+  FROM d
+), sh AS (
+  SELECT doc_id, split, array_to_string(s[i:i+4], ' ') AS shingle
+  FROM ds, unnest(generate_series(1, len(s)-4)) AS t(i)
+  WHERE len(s) >= 5
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+), contam AS (
+  SELECT DISTINCT sh.doc_id, sh.split
+  FROM sh JOIN train_sh USING (shingle) WHERE sh.split <> 'train'
+), totals AS (
+  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+           AS split,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM (SELECT ((doc_id % 1000003) * 2654435761) % 1000000007 % 100 AS b
+        FROM documents)
+  GROUP BY 1
+)
+SELECT t.split, t.n_docs,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(c.n, 0) * 100.0 / t.n_docs, 4) AS contamination_pct
+FROM totals t
+LEFT JOIN (SELECT split, CAST(count(*) AS BIGINT) AS n FROM contam GROUP BY 1) c
+  USING (split)
+WHERE t.split <> 'train'
+ORDER BY t.split
+"""
+
+
 def byte_pair_stats(sf_dir: str, top: int = 20):
     """BYTE-PAIR statistics (the first merge-table step of byte-level BPE
     tokenizer training, GPT-2 style): global counts of adjacent byte pairs
@@ -7185,6 +7355,7 @@ EXACT_QUERIES = {
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),
+    "ngram_contamination": (ngram_contamination, NGRAM_CONTAMINATION_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

@@ -822,3 +822,81 @@ def test_cosine_dup_pairs_fallback_matches_broadcast(ray_session, sf_dir):
         )
         assert fast[["id_a", "id_b"]].equals(slow[["id_a", "id_b"]])
         assert np.allclose(fast["cos_sim"], slow["cos_sim"], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# n-gram train->eval contamination (r5: GPT-3 appendix-C decontamination shape)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_planted(ray_session, tmp_path):
+    """doc 0 (train) shares a 5-gram with doc 2 (val) and doc 14 (test);
+    doc 9 (val) and doc 21 (test) are clean; docs 16/28/35 pad the eval
+    splits.  Split routing is the deterministic doc_id hash (ids 0..35:
+    train={0,1,3..8,...}, val={2,9,16}, test={14,21,28,35})."""
+    from q_digest_ray.pipelines.queries import ngram_contamination
+
+    span = "alpha beta gamma delta epsilon"
+    texts = ["the quick brown fox jumps over"] * 36
+    texts[0] = f"lead in {span} trailing words here"
+    texts[2] = f"completely different prefix {span}"
+    texts[14] = f"{span} suffix tokens"
+    texts[9] = "val doc with its own private words number nine"
+    texts[21] = "test doc unrelated tokens twenty one entirely"
+    texts[16] = "sixteen val unique and uncontaminated string data"
+    texts[28] = "twenty eight test clean words nothing shared at"
+    texts[35] = "thirty five test clean words nothing shared at"
+    # NOTE: docs 28 and 35 share a 5-gram with EACH OTHER (both eval) but
+    # not with any train doc -> not contaminated.  The filler "the quick
+    # brown fox jumps over" is also in train docs -> filler eval docs ARE
+    # contaminated; keep eval docs non-filler except the planted ones.
+    sf = _write_docs(tmp_path, texts)
+    out = ngram_contamination(sf)
+    row = {r["split"]: r for _, r in out.iterrows()}
+    assert row["val"]["n_docs"] == 3 and row["test"]["n_docs"] == 4
+    assert row["val"]["n_contaminated"] == 1  # doc 2
+    assert row["test"]["n_contaminated"] == 1  # doc 14
+    assert abs(row["val"]["contamination_pct"] - 33.3333) < 1e-4
+    assert abs(row["test"]["contamination_pct"] - 25.0) < 1e-4
+
+
+def test_ngram_contamination_bucket_invariance(ray_session, tmp_path):
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import ngram_contamination
+
+    span = "one two three four five"
+    texts = [f"doc {i} filler words distinct token{i} stream" for i in range(30)]
+    texts[0] = f"train carrier {span} end"
+    texts[2] = f"val hit {span} tail"
+    a = ngram_contamination(_write_docs(tmp_path, texts), num_buckets=2)
+    b = ngram_contamination(str(tmp_path), num_buckets=7)
+    pd.testing.assert_frame_equal(a, b)
+    assert a[a["split"] == "val"]["n_contaminated"].iloc[0] == 1
+
+
+def test_ngram_contamination_oracle_parity(ray_session, tmp_path):
+    """Planted corpus through BOTH the Ray pipeline and the DuckDB oracle
+    (same comparison the driver runs, but on a corpus with known hits)."""
+    import duckdb
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import (
+        NGRAM_CONTAMINATION_SQL,
+        ngram_contamination,
+    )
+
+    rng_words = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng_words[i % 6 : i % 6 + 7]) for i in range(36)]
+    sf = _write_docs(tmp_path, texts)
+    ours = ngram_contamination(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    theirs = con.sql(NGRAM_CONTAMINATION_SQL).df()
+    pd.testing.assert_frame_equal(
+        ours.astype({"n_docs": "int64", "n_contaminated": "int64"}),
+        theirs.astype({"n_docs": "int64", "n_contaminated": "int64"}),
+    )

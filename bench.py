@@ -141,6 +141,7 @@ QUERY_NAMES = [
     "sk_fd_spectrum",
     "sk_csk_join_size",
     "ngram_contamination",
+    "semdedup_prune",
 ]
 
 

@@ -3972,6 +3972,104 @@ def embedding_cluster_sizes(sf_dir: str, num_centroids: int = 16):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def semdedup_prune(
+    sf_dir: str,
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int = 4096,
+):
+    """SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540): k-means
+    cluster the embedding corpus, then WITHIN each cluster mark semantic
+    duplicate groups (pairwise cosine ≥ threshold, transitively closed)
+    and keep ONE representative per group — the member farthest from the
+    centroid (the paper's low-similarity keep rule; ties → min vec_id).
+    Reports the per-cluster pruning funnel.
+
+    Distributed shape: centroids (trained from a bounded strided sample,
+    deterministic) broadcast once via ray.put; one map pass assigns and
+    hash-routes (vec_id, cluster, vector) rows; vectors co-locate ONCE,
+    partitioned by cluster — the whole point of SemDeDup is that pairwise
+    work is bounded by the cluster, never the corpus.  Per cluster one
+    n×n block matmul + vectorized min-label propagation (no Python-loop
+    union-find); clusters beyond ``max_cluster`` dedup within sorted-id
+    chunks (the same chain-cap stance as the LSH degenerate buckets —
+    documented recall loss instead of an n² blowup).  Rows-only oracle:
+    centroids are data-dependent (but seeded, so the result is
+    deterministic and the driver's rows gate is stable)."""
+    from q_digest_ray.stages.ann import _matrix, _normalize, train_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, "embedding", num_centroids=num_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)  # zero-copy local get
+        m = _normalize(_matrix(batch["embedding"]))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1).astype(np.int64)
+        best = sims[np.arange(len(a)), a].astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(a),
+                "cos_c": pa.array(best),
+                "vec": pa.array(list(m.astype(np.float32))),
+            }
+        )
+
+    def _prune_chunk(ids, cos_c, m):
+        """(kept_mask) for one ≤max_cluster chunk: transitive closure of
+        the cos≥τ graph by vectorized min-label propagation, then keep
+        argmin cos-to-centroid per component (tie: min id)."""
+        n = len(ids)
+        adj = (m @ m.T) >= threshold  # includes self
+        labels = np.arange(n)
+        while True:
+            spread = np.where(adj, labels[None, :], n).min(axis=1)
+            if np.array_equal(spread, labels):
+                break
+            labels = spread
+        # keep rule: per component, lowest cos_c, tie min id — first row of
+        # each label run under a (label, cos_c, id) lexsort
+        order = np.lexsort((ids, cos_c, labels))
+        lab_sorted = labels[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = lab_sorted[1:] != lab_sorted[:-1]
+        keep = np.zeros(n, dtype=bool)
+        keep[order[first]] = True
+        return keep
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        cos_c = g["cos_c"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        n = len(g)
+        pruned = 0
+        for s in range(0, n, max_cluster):
+            sl = slice(s, min(s + max_cluster, n))
+            keep = _prune_chunk(ids[sl], cos_c[sl], m[sl])
+            pruned += int((~keep).sum())
+        return pd.DataFrame(
+            {
+                "cluster": [int(g["cluster"].iloc[0])],
+                "n": np.array([n], dtype=np.int64),
+                "n_pruned": np.array([pruned], dtype=np.int64),
+                "keep_frac": [round(1.0 - pruned / n, 4)],
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["n_pruned"] = out["n_pruned"].astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def langid_counts(sf_dir: str):
     """Predicted language distribution (heuristic language-ID stage)."""
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -7410,6 +7508,7 @@ SKETCH_QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "epoch_export_order": epoch_export_order,
     "embedding_cluster_sizes": embedding_cluster_sizes,
+    "semdedup_prune": semdedup_prune,
     "langid_counts": langid_counts,
     "fingerprint_stats": fingerprint_stats,
     "curation_funnel": curation_funnel,

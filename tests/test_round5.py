@@ -900,3 +900,79 @@ def test_ngram_contamination_oracle_parity(ray_session, tmp_path):
         ours.astype({"n_docs": "int64", "n_contaminated": "int64"}),
         theirs.astype({"n_docs": "int64", "n_contaminated": "int64"}),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup within-cluster pruning (r5)
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(tmpdir, vecs):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(np.zeros(len(vecs), np.int32)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "embeddings.parquet"))
+    return str(tmpdir)
+
+
+def _unit(v):
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+def test_semdedup_planted_groups(ray_session, tmp_path):
+    """Group A: 5 near-identical vectors -> keep 1, prune 4.  Group B: 4
+    vectors ~20 degrees apart (cos≈0.94 < 0.95) -> prune 0.  Group C: two
+    identical pairs -> prune 2.  Groups are orthogonal so cross-group
+    cosine ~0 regardless of which k-means cluster they land in."""
+    import numpy as np
+
+    from q_digest_ray.pipelines.queries import semdedup_prune
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    d = 8
+    e = np.eye(d)
+    vecs = []
+    for _ in range(5):  # A: cos > 0.99 pairwise
+        vecs.append(_unit(e[0] + 0.02 * rng.normal(size=d)))
+    for k in range(4):  # B: fan around e[1] in the (e1, e3) plane, ~21 deg apart
+        ang = 0.36 * k
+        vecs.append(_unit(np.cos(ang) * e[1] + np.sin(ang) * e[3]))
+    for _ in range(2):  # C: two exact dup pairs on e[2] and e[4+]
+        vecs.append(_unit(e[2]))
+    for _ in range(2):
+        vecs.append(_unit(e[5]))
+    sf = _write_embeddings(tmp_path, vecs)
+    out = semdedup_prune(sf, num_centroids=4, threshold=0.95)
+    assert int(out["n"].sum()) == len(vecs)
+    assert int(out["n_pruned"].sum()) == 4 + 0 + 1 + 1
+    # determinism (seeded centroids, hash-free keep rule)
+    out2 = semdedup_prune(sf, num_centroids=4, threshold=0.95)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_semdedup_chunk_cap(ray_session, tmp_path):
+    """max_cluster chunking bounds the pairwise block: 5 identical vectors
+    with cap 3 dedup within chunks only -> 2 kept (documented recall
+    trade, never an n^2 blowup)."""
+    import numpy as np
+
+    from q_digest_ray.pipelines.queries import semdedup_prune
+
+    d = 8
+    vecs = [_unit(np.eye(d)[0])] * 5 + [_unit(np.eye(d)[1])]
+    sf = _write_embeddings(tmp_path, vecs)
+    out = semdedup_prune(sf, num_centroids=2, threshold=0.95, max_cluster=3)
+    assert int(out["n_pruned"].sum()) == 3  # chunks of 3+2 keep one each

@@ -2108,7 +2108,7 @@ def ngram_contamination(
         return c[["split", "n"]]
 
     hits = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(per_shingle_bucket, batch_format="pandas")
         .groupby("doc_bucket")

@@ -142,6 +142,7 @@ QUERY_NAMES = [
     "sk_csk_join_size",
     "ngram_contamination",
     "semdedup_prune",
+    "incremental_dedup",
 ]
 
 

@@ -463,3 +463,112 @@ def curation_v2(
     for c in ("n_unique", "n_members", "n_pass"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: persisted key index (r5)
+# ---------------------------------------------------------------------------
+
+
+def build_key_index(
+    ds, out_dir: str, text_col: str = "text", num_buckets: int | None = None
+) -> dict:
+    """Persist a corpus's exact-dedup KEY INDEX: one parquet file per
+    key-hash bucket holding the DISTINCT 128-bit content keys
+    (__h1, __h2 — the same family `_content_key_adder` gives every dedup
+    operator), published atomically via tmp + os.replace so a retried
+    bucket task overwrites identical content.  ``_index.json`` records the
+    bucket count + key total; a later `dedup_against_index` run MUST use
+    the recorded bucket count so lookups prune to one file per bucket.
+
+    This is the incremental-corpus mechanism: a daily 100-TB pipeline
+    builds the index once, then dedups each NEW batch against key files —
+    ~16 bytes/doc — without ever re-reading the old corpus texts."""
+    import glob
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.stages.partitioning import derive_buckets
+
+    B = num_buckets or derive_buckets(ds)
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.remove(stale)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        keys = g.drop_duplicates(["__h1", "__h2"])
+        t = pa.table(
+            {
+                "h1": pa.array(keys["__h1"].to_numpy(np.int64)),
+                "h2": pa.array(keys["__h2"].to_numpy(np.int64)),
+            }
+        )
+        path = os.path.join(out_dir, f"part-{bucket:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic publish
+        return pd.DataFrame({"bucket": [bucket], "n_keys": [len(keys)]})
+
+    stats = (
+        ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow",
+                       batch_size=None)
+        .select_columns(["__h1", "__h2", "__bucket"])
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    meta = {
+        "num_buckets": int(B),
+        "n_keys": int(stats["n_keys"].sum()) if len(stats) else 0,
+        "key_family": "content_key128",
+    }
+    mpath = os.path.join(out_dir, "_index.json")
+    with open(mpath + f".tmp.{os.getpid()}", "w") as f:
+        json.dump(meta, f)
+    os.replace(mpath + f".tmp.{os.getpid()}", mpath)
+    return meta
+
+
+def dedup_against_index(ds, index_dir: str, text_col: str = "text"):
+    """Anti-join a NEW batch against a persisted key index (see
+    ``build_key_index``) WITHOUT re-reading the old corpus: new rows
+    bucket under the index's recorded bucket count, and each bucket task
+    reads ONLY its own ``part-<bucket>.parquet`` key file (partition-
+    pruned by construction; a missing file means the old corpus had no
+    keys there — keep everything).  Returns the Dataset of surviving full
+    rows (new docs whose content key is absent from the index).
+    Within-batch duplicates are deliberately untouched — that is
+    `dedup_keep_first`'s job; this operator answers "is it already in the
+    corpus"."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "_index.json")) as f:
+        meta = json.load(f)
+    B = int(meta["num_buckets"])
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        path = os.path.join(index_dir, f"part-{bucket:05d}.parquet")
+        drop = g.drop(columns=["__h1", "__h2", "__bucket"])
+        if not os.path.exists(path):
+            return drop
+        idx = pq.read_table(path)
+        old = pd.DataFrame(
+            {"__h1": idx["h1"].to_numpy(), "__h2": idx["h2"].to_numpy()}
+        )
+        m = g.merge(old, on=["__h1", "__h2"], how="left", indicator=True)
+        return drop.loc[(m["_merge"] == "left_only").to_numpy()]
+
+    return (
+        ds.map_batches(_content_key_adder(text_col, B), batch_format="pyarrow",
+                       batch_size=None)
+        .groupby("__bucket")
+        .map_groups(anti, batch_format="pandas")
+    )

@@ -2197,6 +2197,95 @@ ORDER BY t.split
 """
 
 
+def incremental_dedup(sf_dir: str, num_buckets: int | None = None):
+    """INCREMENTAL corpus dedup against a PERSISTED key index (the daily-
+    batch production shape): the even-doc_id half of documents plays the
+    existing corpus — its distinct 128-bit content keys are written once
+    as a bucketed parquet index (pipelines/export.build_key_index,
+    ~16 bytes/doc) — and the odd half plays the new batch, anti-joined
+    against the index with each bucket task reading ONLY its own key file
+    (pipelines/export.dedup_against_index, partition-pruned by
+    construction).  The old corpus TEXTS are never re-read — the property
+    that makes daily dedup of a growing 100-TB corpus affordable.
+    Reports the per-lang ingest funnel; exact-dedup key-collision stance
+    as dedup_exact (equal text ⇒ equal key; silent merge needs a 128-bit
+    collision)."""
+    import shutil
+    import tempfile
+
+    from q_digest_ray.pipelines.export import build_key_index, dedup_against_index
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        return f
+
+    def lang_counts_of(ds, col_name: str) -> pd.DataFrame:
+        # all-dup buckets yield EMPTY blocks and Ray drops empty-block
+        # schemas — both phases must tolerate schema-less empties
+        empty = pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                col_name: pd.Series([], dtype="int64"),
+            }
+        )
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            if batch.num_rows == 0 or "lang" not in batch.schema.names:
+                return empty
+            df = pd.DataFrame({"lang": batch["lang"].to_pandas()})
+            return df.groupby("lang", sort=False, as_index=False).size().rename(
+                columns={"size": col_name}
+            )
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            if "lang" not in df.columns:
+                return empty
+            return df.groupby("lang", as_index=False).agg(**{col_name: (col_name, "sum")})
+
+        out = two_phase(ds, partial, final).to_pandas()
+        # a fully-empty Dataset (every new doc a dup) never reaches final
+        return out if "lang" in out.columns else empty
+
+    old = docs.map_batches(half(0), batch_format="pyarrow", batch_size=None)
+    new = docs.map_batches(half(1), batch_format="pyarrow", batch_size=None)
+    idx_dir = tempfile.mkdtemp(prefix="qdr_keyidx_", dir="/tmp")
+    try:
+        build_key_index(old, idx_dir, num_buckets=num_buckets)
+        kept = dedup_against_index(new, idx_dir)
+        kc = lang_counts_of(kept, "n_kept")
+        nc = lang_counts_of(new, "n_new")
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    out = nc.merge(kc, on="lang", how="left").fillna({"n_kept": 0})
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_new"] = out["n_new"].astype("int64")
+    out["n_dup_of_old"] = (out["n_new"] - out["n_kept"]).astype("int64")
+    return (
+        out[["lang", "n_new", "n_dup_of_old", "n_kept"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH old AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+     nw AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 1)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN text IN (SELECT text FROM old) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_of_old,
+       CAST(sum(CASE WHEN text IN (SELECT text FROM old) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept
+FROM nw GROUP BY lang ORDER BY lang
+"""
+
+
 def byte_pair_stats(sf_dir: str, top: int = 20):
     """BYTE-PAIR statistics (the first merge-table step of byte-level BPE
     tokenizer training, GPT-2 style): global counts of adjacent byte pairs
@@ -7454,6 +7543,7 @@ EXACT_QUERIES = {
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),
     "ngram_contamination": (ngram_contamination, NGRAM_CONTAMINATION_SQL),
+    "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

@@ -976,3 +976,111 @@ def test_semdedup_chunk_cap(ray_session, tmp_path):
     sf = _write_embeddings(tmp_path, vecs)
     out = semdedup_prune(sf, num_centroids=2, threshold=0.95, max_cluster=3)
     assert int(out["n_pruned"].sum()) == 3  # chunks of 3+2 keep one each
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted key index (r5)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_lang(tmpdir, texts, langs=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array(langs or ["en"] * len(texts)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
+    return str(tmpdir)
+
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    """Even doc_ids = old corpus, odd = new batch.  doc 1 repeats doc 0
+    (cross-batch dup -> dropped); docs 3 and 5 repeat EACH OTHER but no
+    old doc (within-new dup -> both kept: against-index semantics only)."""
+    from q_digest_ray.pipelines.queries import incremental_dedup
+
+    texts = [
+        "shared old and new text zero",   # 0 old
+        "shared old and new text zero",   # 1 new -> dup of old
+        "old only text two",              # 2 old
+        "new twin text",                  # 3 new -> kept (twin is new-only)
+        "old only text four",             # 4 old
+        "new twin text",                  # 5 new -> kept
+        "old only text six",              # 6 old
+        "fresh new text seven",           # 7 new -> kept
+    ]
+    sf = _write_docs_lang(tmp_path, texts)
+    out = incremental_dedup(sf)
+    assert out.loc[0, "lang"] == "en"
+    assert int(out.loc[0, "n_new"]) == 4
+    assert int(out.loc[0, "n_dup_of_old"]) == 1
+    assert int(out.loc[0, "n_kept"]) == 3
+
+
+def test_incremental_dedup_bucket_invariance_and_oracle(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import (
+        INCREMENTAL_DEDUP_SQL,
+        incremental_dedup,
+    )
+
+    texts = [f"text number {i % 7} body" for i in range(24)]
+    langs = ["en" if i % 3 else "de" for i in range(24)]
+    sf = _write_docs_lang(tmp_path, texts, langs)
+    a = incremental_dedup(sf, num_buckets=2)
+    b = incremental_dedup(sf, num_buckets=5)
+    pd.testing.assert_frame_equal(a, b)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    theirs = con.sql(INCREMENTAL_DEDUP_SQL).df()
+    pd.testing.assert_frame_equal(a, theirs.astype(
+        {"n_new": "int64", "n_dup_of_old": "int64", "n_kept": "int64"}
+    ))
+
+
+def test_key_index_build_and_pruned_lookup(ray_session, tmp_path):
+    """build_key_index writes one key file per non-empty bucket + meta;
+    dedup_against_index keeps rows in buckets with NO index file and
+    filters exact key matches in populated ones."""
+    import json
+
+    import pyarrow as pa
+    import ray as _ray
+
+    from q_digest_ray.pipelines.export import build_key_index, dedup_against_index
+
+    old = _ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 4], pa.int64()),
+                "text": pa.array(["aa", "bb", "cc"]),
+            }
+        )
+    )
+    idx = str(tmp_path / "keyidx")
+    meta = build_key_index(old, idx, num_buckets=4)
+    assert meta["n_keys"] == 3 and meta["num_buckets"] == 4
+    with open(os.path.join(idx, "_index.json")) as f:
+        assert json.load(f)["n_keys"] == 3
+    parts = [p for p in os.listdir(idx) if p.startswith("part-")]
+    assert 1 <= len(parts) <= 4
+    new = _ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5, 7], pa.int64()),
+                "text": pa.array(["aa", "zz", "cc", "qq"]),
+            }
+        )
+    )
+    kept = dedup_against_index(new, idx).to_pandas()
+    assert sorted(kept["text"]) == ["qq", "zz"]

@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "ngram_contamination",
     "semdedup_prune",
     "incremental_dedup",
+    "token_balanced_shards",
 ]
 
 

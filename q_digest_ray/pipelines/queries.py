@@ -2286,6 +2286,142 @@ FROM nw GROUP BY lang ORDER BY lang
 """
 
 
+def token_balanced_shards(
+    sf_dir: str,
+    target_shards: int = 16,
+    unit_size: int = 4096,
+    num_buckets: int | None = None,
+):
+    """TOKEN-BALANCED OUTPUT-SHARD PLANNING (the write-side packing step of
+    a training-data export): docs in doc_id order are cut into
+    ``target_shards`` contiguous shards of ~equal TOKEN mass — shard =
+    exclusive-prefix-token-sum // budget, budget = ceil(total/target) — so
+    every output file feeds a trainer the same work.  Reports each shard's
+    doc count, token mass, id range and the fill ratio vs the ideal.
+
+    Same exclusive-scan shape as running_total_events, keyed by contiguous
+    doc_id UNITS (doc_id // unit_size): pass 1 computes per-unit token
+    sums (thin two-phase), the driver prefix-sums the tiny ordered unit
+    table and broadcasts unit→offset via ray.put; pass 2 re-tokenizes,
+    ships only (unit, doc_id, n_tokens) rows into ~coarse hash buckets of
+    units, sorts each unit locally, adds its offset and aggregates
+    per-shard partials.  Two corpus scans, thin-row exchanges only; at
+    100× scale ``unit_size`` grows with the corpus exactly like
+    derive_buckets (the unit table must stay driver-small)."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+    from q_digest_ray.pipelines.ingest import count_tokens_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def unit_partials(batch: pa.Table) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = count_tokens_batch(batch)
+        df = pd.DataFrame({"unit": did // unit_size, "t": toks})
+        return df.groupby("unit", sort=False, as_index=False).agg(t=("t", "sum"))
+
+    def unit_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("unit", as_index=False).agg(t=("t", "sum"))
+
+    units = two_phase(ds, unit_partials, unit_final).to_pandas()
+    units = units.sort_values("unit").reset_index(drop=True)
+    total = int(units["t"].sum())
+    budget = max(1, -(-total // target_shards))  # ceil
+    offsets = dict(
+        zip(
+            units["unit"].astype(np.int64),
+            np.concatenate([[0], np.cumsum(units["t"].to_numpy())[:-1]]).astype(
+                np.int64
+            ),
+        )
+    )
+    oref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = count_tokens_batch(batch).astype(np.int64)
+        unit = did // unit_size
+        return pa.table(
+            {
+                "unit": pa.array(unit),
+                "doc_id": pa.array(did),
+                "t": pa.array(toks),
+                "bucket": pa.array(
+                    (unit.view(np.uint64) % np.uint64(B)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)  # zero-copy local get, per-task (no actor pool)
+        g = g.sort_values(["unit", "doc_id"])
+        t = g["t"].to_numpy(np.int64)
+        cum = np.cumsum(t)
+        # within-unit EXCLUSIVE prefix: subtract each unit's first cum - t
+        unit = g["unit"].to_numpy(np.int64)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = unit[1:] != unit[:-1]
+        base = np.repeat(cum[first] - t[first], np.diff(
+            np.append(np.flatnonzero(first), len(g))
+        ))
+        ex = cum - t - base + np.array([offs[u] for u in unit], dtype=np.int64)
+        shard = ex // budget
+        df = pd.DataFrame(
+            {"shard": shard, "t": t, "doc_id": g["doc_id"].to_numpy(np.int64)}
+        )
+        return df.groupby("shard", as_index=False).agg(
+            n_docs=("t", "size"),
+            n_tokens=("t", "sum"),
+            min_doc=("doc_id", "min"),
+            max_doc=("doc_id", "max"),
+        )
+
+    parts = (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("shard", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_tokens=("n_tokens", "sum"),
+        min_doc=("min_doc", "min"),
+        max_doc=("max_doc", "max"),
+    )
+    for c in ("shard", "n_docs", "n_tokens", "min_doc", "max_doc"):
+        out[c] = out[c].astype("int64")
+    out["fill"] = [
+        duckdb_round_double(v / budget, 4) for v in out["n_tokens"].to_numpy()
+    ]
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+TOKEN_BALANCED_SHARDS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+           AS t
+  FROM documents
+), tot AS (
+  SELECT CAST(ceil(sum(t) * 1.0 / 16) AS BIGINT) AS budget FROM d
+), c AS (
+  SELECT doc_id, t,
+         coalesce(sum(t) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+  FROM d
+)
+SELECT CAST(ex // budget AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       round(sum(t) * 1.0 / budget, 4) AS fill
+FROM c, tot
+GROUP BY 1, budget ORDER BY shard
+"""
+
+
 def byte_pair_stats(sf_dir: str, top: int = 20):
     """BYTE-PAIR statistics (the first merge-table step of byte-level BPE
     tokenizer training, GPT-2 style): global counts of adjacent byte pairs
@@ -7544,6 +7680,7 @@ EXACT_QUERIES = {
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),
     "ngram_contamination": (ngram_contamination, NGRAM_CONTAMINATION_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "token_balanced_shards": (token_balanced_shards, TOKEN_BALANCED_SHARDS_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

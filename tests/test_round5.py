@@ -1084,3 +1084,43 @@ def test_key_index_build_and_pruned_lookup(ray_session, tmp_path):
     )
     kept = dedup_against_index(new, idx).to_pandas()
     assert sorted(kept["text"]) == ["qq", "zz"]
+
+
+# ---------------------------------------------------------------------------
+# token-balanced output-shard planning (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_token_balanced_shards_hand_computed(ray_session, tmp_path):
+    """8 docs of 10 tokens, target 4 shards -> budget 20 -> 2 docs/shard,
+    exercised across unit boundaries (unit_size=3)."""
+    from q_digest_ray.pipelines.queries import token_balanced_shards
+
+    texts = [" ".join([f"w{i}{j}" for j in range(10)]) for i in range(8)]
+    sf = _write_docs(tmp_path, texts)
+    out = token_balanced_shards(sf, target_shards=4, unit_size=3)
+    assert out["shard"].tolist() == [0, 1, 2, 3]
+    assert out["n_docs"].tolist() == [2, 2, 2, 2]
+    assert out["n_tokens"].tolist() == [20, 20, 20, 20]
+    assert out["min_doc"].tolist() == [0, 2, 4, 6]
+    assert out["max_doc"].tolist() == [1, 3, 5, 7]
+    assert all(abs(f - 1.0) < 1e-9 for f in out["fill"])
+
+
+def test_token_balanced_shards_invariance(ray_session, tmp_path):
+    """Same cuts under any bucket count and any unit size (the prefix is a
+    pure function of the doc order, not of the partitioning)."""
+    import numpy as np
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import token_balanced_shards
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    texts = [" ".join(["tok"] * int(rng.integers(1, 40))) for _ in range(100)]
+    sf = _write_docs(tmp_path, texts)
+    a = token_balanced_shards(sf, target_shards=7, unit_size=8, num_buckets=2)
+    b = token_balanced_shards(sf, target_shards=7, unit_size=33, num_buckets=9)
+    pd.testing.assert_frame_equal(a, b)
+    # conservation: every doc and token lands in exactly one shard
+    assert int(a["n_docs"].sum()) == 100
+    assert int(a["n_tokens"].sum()) == sum(len(t.split()) for t in texts)

@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "semdedup_prune",
     "incremental_dedup",
     "token_balanced_shards",
+    "bm25_topk",
 ]
 
 

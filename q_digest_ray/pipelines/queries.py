@@ -2422,6 +2422,128 @@ GROUP BY 1, budget ORDER BY shard
 """
 
 
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("hash", "join", "scan"),
+    top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """DISTRIBUTED BM25 RETRIEVAL (Robertson-Spärck Jones, the standard
+    +1-idf variant): top-k docs for a fixed term query over the corpus.
+
+    Two map-only passes + one tiny exchange: pass 1 is a thin two-phase
+    emitting (n_docs, Σlen, per-term df) partials — fixed columns, so the
+    shuffle is a handful of ints regardless of corpus size; the driver
+    derives (N, avgdl, idf vector) and pass 2 scores every doc vectorized
+    (one flat-token np.isin + bincount per term — no per-doc loop), keeps
+    a per-batch top-k and re-ranks B×k candidates once (lossless prune —
+    the same shape as every top-k in this catalog).  Scores round to 4
+    decimals on BOTH sides so float summation order can't flip the
+    SQL-oracle rank; ties break by doc_id."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    T = list(terms)
+
+    def _tokens(batch: pa.Table):
+        trimmed = pc.replace_substring_regex(batch["text"], r"^\s+|\s+$", "")
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten())
+        offs = np.asarray(toks.offsets)
+        lens = np.diff(offs)
+        # "" splits to [''] — count empty docs as 0 tokens like the oracle
+        empty = np.asarray(pc.equal(trimmed, "").fill_null(True))
+        lens = np.where(empty, 0, lens)
+        return flat, offs, lens
+
+    def stat_partial(batch: pa.Table) -> pd.DataFrame:
+        flat, offs, lens = _tokens(batch)
+        nd = batch.num_rows
+        tokdoc = np.repeat(np.arange(nd), np.diff(offs))
+        row = {"n": np.int64(nd), "sumlen": lens.sum().astype(np.int64)}
+        for i, t in enumerate(T):
+            hit = np.unique(tokdoc[flat == t])
+            row[f"df{i}"] = np.int64(len(hit))
+        return pd.DataFrame([row])
+
+    def stat_final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([df.sum().astype(np.int64)])
+
+    st = two_phase(ds, stat_partial, stat_final, batch_size=None).to_pandas()
+    N = int(st["n"][0])
+    avgdl = float(st["sumlen"][0]) / N
+    idf = np.array(
+        [
+            np.log((N - int(st[f"df{i}"][0]) + 0.5) / (int(st[f"df{i}"][0]) + 0.5) + 1.0)
+            for i in range(len(T))
+        ]
+    )
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        flat, offs, lens = _tokens(batch)
+        nd = batch.num_rows
+        tokdoc = np.repeat(np.arange(nd), np.diff(offs))
+        dl = lens.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(nd)
+        for i, t in enumerate(T):
+            tf = np.bincount(tokdoc[flat == t], minlength=nd).astype(np.float64)
+            score += idf[i] * tf * (k1 + 1.0) / (tf + norm)
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "score": [duckdb_round_double(s, 4) for s in score],
+            }
+        )
+        df = df[df["score"] > 0]
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]).head(top)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(top)
+        out = out.reset_index(drop=True)
+        out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return two_phase(ds, score_partial, final, batch_size=None).to_pandas()
+
+
+BM25_TOPK_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents
+), dl AS (
+  SELECT doc_id, CASE WHEN len(s) = 1 AND s[1] = '' THEN 0 ELSE len(s) END AS dl
+  FROM d
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl
+), q(term) AS (VALUES ('hash'), ('join'), ('scan')),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(s) AS tok FROM d)
+  JOIN q ON tok = term GROUP BY doc_id, tok
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT tf.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT)
+         AS rn,
+       doc_id, round(score, 4) AS score
+FROM sc WHERE round(score, 4) > 0
+ORDER BY rn LIMIT 10
+"""
+
+
 def byte_pair_stats(sf_dir: str, top: int = 20):
     """BYTE-PAIR statistics (the first merge-table step of byte-level BPE
     tokenizer training, GPT-2 style): global counts of adjacent byte pairs
@@ -7681,6 +7803,7 @@ EXACT_QUERIES = {
     "ngram_contamination": (ngram_contamination, NGRAM_CONTAMINATION_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "token_balanced_shards": (token_balanced_shards, TOKEN_BALANCED_SHARDS_SQL),
+    "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

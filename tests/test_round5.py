@@ -1124,3 +1124,59 @@ def test_token_balanced_shards_invariance(ray_session, tmp_path):
     # conservation: every doc and token lands in exactly one shard
     assert int(a["n_docs"].sum()) == 100
     assert int(a["n_tokens"].sum()) == sum(len(t.split()) for t in texts)
+
+
+# ---------------------------------------------------------------------------
+# distributed BM25 retrieval (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_properties(ray_session, tmp_path):
+    """tf monotonicity, length normalization and idf weighting on a
+    crafted corpus: more query-term hits rank higher; at equal tf the
+    shorter doc wins; a doc matching the RARE term outranks one matching
+    the common term at equal tf and length."""
+    from q_digest_ray.pipelines.queries import bm25_topk
+
+    filler = "xx yy zz aa bb cc dd ee"
+    texts = [
+        f"hash hash hash {filler}",          # 0: tf=3
+        f"hash hash {filler}",               # 1: tf=2
+        f"hash {filler}",                    # 2: tf=1 short
+        f"hash {filler} {filler} {filler}",  # 3: tf=1 long
+        f"join {filler}",                    # 4: rare term (df=1), same len as 2
+        filler,                              # 5: no terms
+    ] + [f"pad doc {i} {filler}" for i in range(6, 20)]
+    sf = _write_docs(tmp_path, texts)
+    out = bm25_topk(sf, terms=("hash", "join"), top=6)
+    rank = {int(d): r for r, d in zip(out["rn"], out["doc_id"])}
+    assert 5 not in rank  # zero-score docs never surface
+    assert rank[0] < rank[1] < rank[2]          # tf monotone
+    assert rank[2] < rank[3]                    # shorter doc wins at tf=1
+    assert rank[4] < rank[2]                    # rare term beats common (df 1 vs 4)
+
+
+def test_bm25_oracle_parity_planted(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import BM25_TOPK_SQL, bm25_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = ["hash", "join", "scan", "a", "b", "c", "d", "e", "f"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 30))))
+        for _ in range(60)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    ours = bm25_topk(sf)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    theirs = con.sql(BM25_TOPK_SQL).df()
+    pd.testing.assert_frame_equal(
+        ours, theirs.astype({"rn": "int64", "doc_id": "int64"})
+    )

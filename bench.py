@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "incremental_dedup",
     "token_balanced_shards",
     "bm25_topk",
+    "pmi_collocations",
 ]
 
 

@@ -1565,6 +1565,117 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
+def pmi_collocations(sf_dir: str, k: int = 20, num_buckets: int | None = None):
+    """COLLOCATION STRENGTH (pointwise mutual information) of the corpus's
+    top-k most frequent bigrams: PMI = ln(P(ab) / (P(a)·P(b))) under the
+    unigram/bigram maximum-likelihood estimates — the classic collocation
+    statistic (Church & Hanks 1990) a vocabulary-construction pass ranks
+    merge candidates by.
+
+    Two scans: the exact bigram census (``top_bigrams`` machinery —
+    bucket-local lossless top-k) fixes the candidate set, then ONE pass
+    counts the candidates' constituent tokens (np.isin against the ≤2k
+    closure-shipped candidate tokens — no vocabulary-sized exchange) plus
+    the exact token/bigram totals as two sentinel rows (tokens cannot
+    contain whitespace, so ``' NT '``/``' NB '`` cannot collide).  PMI is
+    computed driver-side over k rows in the SAME float op order as the
+    oracle and rounded to 4 decimals; ties break by bigram."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    cand = top_bigrams(sf_dir, k=k, num_buckets=num_buckets)
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "rn": pd.Series([], dtype="int64"),
+                "bigram": pd.Series([], dtype="object"),
+                "cnt": pd.Series([], dtype="int64"),
+                "pmi": pd.Series([], dtype="float64"),
+            }
+        )
+    cand_tokens = np.unique(
+        np.concatenate([s.split(" ") for s in cand["bigram"]])
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        trimmed = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), r"^\s+|\s+$", ""
+        )
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten())
+        lens = np.diff(np.asarray(toks.offsets))
+        nonempty = ~np.asarray(pc.equal(trimmed, "").fill_null(True))
+        nt = int(lens[nonempty].sum())
+        nb = int(np.maximum(lens[nonempty] - 1, 0).sum())
+        idx = np.searchsorted(cand_tokens, flat)
+        idx[idx >= len(cand_tokens)] = 0
+        hit = cand_tokens[idx] == flat
+        counts = np.bincount(idx[hit], minlength=len(cand_tokens))
+        return pd.DataFrame(
+            {
+                "token": np.concatenate([cand_tokens, [" NT ", " NB "]]),
+                "cnt": np.concatenate([counts, [nt, nb]]).astype(np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).agg(cnt=("cnt", "sum"))
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    tk = two_phase(ds, partial, final, batch_size=None).to_pandas()
+    counts = dict(zip(tk["token"], tk["cnt"].astype(int)))
+    nt, nb = counts[" NT "], counts[" NB "]
+    rows = []
+    for _, r in cand.iterrows():
+        a, b = r["bigram"].split(" ")
+        pmi = np.log(
+            (int(r["cnt"]) / nb) / ((counts[a] / nt) * (counts[b] / nt))
+        )
+        rows.append((r["bigram"], int(r["cnt"]), duckdb_round_double(pmi, 4)))
+    out = pd.DataFrame(rows, columns=["bigram", "cnt", "pmi"]).sort_values(
+        ["pmi", "bigram"], ascending=[False, True]
+    )
+    out = out.reset_index(drop=True)
+    out.insert(0, "rn", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+PMI_COLLOCATIONS_SQL = r"""
+WITH d AS (
+  SELECT string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), tk AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(s) AS tok FROM d) WHERE tok <> '' GROUP BY tok
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nt FROM tk
+), bi AS (
+  SELECT s[i] || ' ' || s[i+1] AS bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM d, unnest(generate_series(1, len(s)-1)) AS t(i)
+  WHERE s[i] <> '' AND s[i+1] <> ''
+  GROUP BY 1
+), nb AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM bi
+), top AS (
+  SELECT bigram, cnt FROM bi ORDER BY cnt DESC, bigram LIMIT 20
+), sc AS (
+  SELECT t.bigram, t.cnt,
+         round(ln((t.cnt * 1.0 / nb) /
+                  ((a.c * 1.0 / nt) * (b.c * 1.0 / nt))), 4) AS pmi
+  FROM top t
+  JOIN tk a ON a.tok = string_split(t.bigram, ' ')[1]
+  JOIN tk b ON b.tok = string_split(t.bigram, ' ')[2], nt, nb
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rn,
+       bigram, cnt, pmi
+FROM sc ORDER BY rn
+"""
+
+
 def _span_token_view(batch: pa.Table, K: int):
     """Tokenized batch view shared by the span census (dup_spans*) and the
     span-removal rewrite — ONE tokenization so every span pass agrees
@@ -7804,6 +7915,7 @@ EXACT_QUERIES = {
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "token_balanced_shards": (token_balanced_shards, TOKEN_BALANCED_SHARDS_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

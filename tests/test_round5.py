@@ -1180,3 +1180,49 @@ def test_bm25_oracle_parity_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         ours, theirs.astype({"rn": "int64", "doc_id": "int64"})
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_ranks_exclusive_pair_highest(ray_session, tmp_path):
+    """'alpha beta' only ever co-occur with each other (PMI = ln(Nt^2/(Nb*ca*cb)))
+    while 'the of' pairs are frequent but independent -> lower PMI despite
+    higher count.  Exact PMI values checked against the closed form."""
+    import numpy as np
+
+    from q_digest_ray.pipelines.queries import pmi_collocations
+
+    texts = (
+        ["alpha beta"] * 5
+        + ["the of the of the of"] * 10
+        + ["the x of y the z of w"] * 10
+    )
+    sf = _write_docs(tmp_path, texts)
+    out = pmi_collocations(sf, k=10)
+    r = {b: (int(c), float(p)) for b, c, p in zip(out["bigram"], out["cnt"], out["pmi"])}
+    assert "alpha beta" in r
+    nt = 10 + 60 + 80  # total tokens
+    nb = 5 + 50 + 70   # total adjacent pairs
+    exp = np.log((5 / nb) / ((5 / nt) * (5 / nt)))
+    assert abs(r["alpha beta"][1] - round(exp, 4)) < 1e-9
+    # exclusive pair outranks every frequent-but-independent pair
+    top_bigram = out.loc[0, "bigram"]
+    assert top_bigram == "alpha beta"
+
+
+def test_pmi_bucket_invariance(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import pmi_collocations
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vocab = ["a", "b", "c", "d", "e", "f", "g"]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(40)]
+    sf = _write_docs(tmp_path, texts)
+    a = pmi_collocations(sf, k=8, num_buckets=2)
+    b = pmi_collocations(sf, k=8, num_buckets=7)
+    pd.testing.assert_frame_equal(a, b)

@@ -31,6 +31,11 @@ Pipelines:
               ingest) over a directory holding documents.parquet; writes
               per-split token/doc totals for the epoch (--epoch).  The
               trainer-side smoke of the training-ingest leg.
+  convert   — JSONL dump (file or shard dir, .gz ok) → parquet shard dir
+              (sources/textio.to_parquet_table): the one-time conversion
+              every row-format crawl dump pays so downstream passes get
+              real column pruning; writes the shards under --output and a
+              row-count summary.
 """
 
 from __future__ import annotations
@@ -50,7 +55,11 @@ import ray
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pipeline", choices=["flagship", "curation", "ingest"], required=True)
+    ap.add_argument(
+        "--pipeline",
+        choices=["flagship", "curation", "ingest", "convert"],
+        required=True,
+    )
     ap.add_argument("--epoch", type=int, default=0, help="ingest pipeline: epoch number")
     ap.add_argument("--input", required=True, help="cc_pages parquet directory")
     ap.add_argument("--output", required=True, help="result directory (shared fs)")
@@ -94,6 +103,21 @@ def main() -> int:
                 "epoch": args.epoch,
                 "n_docs": [v[0] for v in totals.values()],
                 "total_tokens": [v[1] for v in totals.values()],
+            }
+        )
+    elif args.pipeline == "convert":
+        import pandas as pd
+
+        from q_digest_ray.sources.textio import read_jsonl, to_parquet_table
+
+        shard_dir = os.path.join(args.output, "converted")
+        ds = read_jsonl(args.input)
+        to_parquet_table(ds, shard_dir)
+        result = pd.DataFrame(
+            {
+                "n_rows": [ds.count()],
+                "n_cols": [len(ds.schema().names)],
+                "shards": [len(os.listdir(shard_dir))],
             }
         )
     else:

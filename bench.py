@@ -146,6 +146,8 @@ QUERY_NAMES = [
     "token_balanced_shards",
     "bm25_topk",
     "pmi_collocations",
+    "chi2_lang_source",
+    "dup_span_length_hist",
 ]
 
 

@@ -1565,6 +1565,97 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
+def chi2_lang_source(sf_dir: str):
+    """CHI-SQUARE INDEPENDENCE audit of corpus composition (lang ×
+    source): the classic contingency test a mixture monitor runs to ask
+    "did the language mix drift between sources?" — χ² = Σ(O−E)²/E with
+    E = row·col/N, degrees of freedom, and Cramér's V effect size.
+
+    Everything derives from the tiny (source, lang) count table (one thin
+    two-phase; the SAME partial shape as lang_source_matrix) — zero new
+    exchange; the test statistic is driver-side arithmetic over
+    |sources|×|langs| cells, summed in (source, lang) order and rounded
+    to 4 decimals so the SQL oracle's unordered SUM cannot diverge."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "lang": batch["lang"].to_pandas(),
+            }
+        )
+        return df.groupby(["source", "lang"], sort=False, as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).agg(n=("n", "sum"))
+
+    cells = two_phase(ds, partial, final).to_pandas().sort_values(["source", "lang"])
+    N = int(cells["n"].sum())
+    row = cells.groupby("source")["n"].sum()
+    col = cells.groupby("lang")["n"].sum()
+    # every (source, lang) combination, including zero cells, contributes
+    full = (
+        pd.MultiIndex.from_product([row.index, col.index], names=["source", "lang"])
+        .to_frame(index=False)
+        .merge(cells, on=["source", "lang"], how="left")
+        .fillna({"n": 0})
+        .sort_values(["source", "lang"])
+    )
+    obs = full["n"].to_numpy(np.float64)
+    exp = (
+        row.loc[full["source"]].to_numpy(np.float64)
+        * col.loc[full["lang"]].to_numpy(np.float64)
+        / N
+    )
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    r, c = len(row), len(col)
+    dof = (r - 1) * (c - 1)
+    cramers_v = float(np.sqrt(chi2 / (N * min(r - 1, c - 1))))
+    return pd.DataFrame(
+        {
+            "n": [N],
+            "n_sources": [np.int64(r)],
+            "n_langs": [np.int64(c)],
+            "dof": [np.int64(dof)],
+            "chi2": [duckdb_round_double(chi2, 4)],
+            "cramers_v": [duckdb_round_double(cramers_v, 4)],
+        }
+    )
+
+
+CHI2_LANG_SOURCE_SQL = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source, lang
+), rt AS (SELECT source, sum(n) AS rn FROM cells GROUP BY source),
+ct AS (SELECT lang, sum(n) AS cn FROM cells GROUP BY lang),
+tot AS (SELECT sum(n) AS n FROM cells),
+grid AS (
+  SELECT rt.source, ct.lang, coalesce(cells.n, 0) AS o,
+         rt.rn * ct.cn / tot.n AS e
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN cells USING (source, lang)
+), stat AS (
+  SELECT sum((o - e) * (o - e) / e) AS chi2 FROM grid
+)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_sources,
+       (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_langs,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof,
+       round(stat.chi2, 4) AS chi2,
+       round(sqrt(stat.chi2 / (tot.n * least(
+         (SELECT count(*) - 1 FROM rt), (SELECT count(*) - 1 FROM ct)))), 4)
+         AS cramers_v
+FROM stat, tot
+"""
+
+
 def pmi_collocations(sf_dir: str, k: int = 20, num_buckets: int | None = None):
     """COLLOCATION STRENGTH (pointwise mutual information) of the corpus's
     top-k most frequent bigrams: PMI = ln(P(ab) / (P(a)·P(b))) under the
@@ -2107,6 +2198,141 @@ def span_removal_dedup(
     for c in ("doc_id", "n_tokens_in", "n_tokens_kept"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dup_span_length_hist(
+    sf_dir: str, k_words: int = 5, min_docs: int = 2, num_buckets: int | None = None
+):
+    """MAXIMAL duplicated-region length distribution (the profile Lee et
+    al. 2021 report for ExactSubstr dedup): overlapping/adjacent
+    duplicated K-word shingle hits merge doc-locally into maximal covered
+    runs, histogrammed by run length in tokens.  Answers "when we excise,
+    how LONG are the regions?" — fixed-K shingle chaining recovers
+    arbitrary-length duplicated substrings without a suffix array.
+
+    Pass 1 is span_removal_dedup's exact dup-hash-set exchange (16-byte
+    rows); pass 2 is one doc-local map: searchsorted membership marks
+    covered positions, runs found by a single np.diff over the covered
+    indices with doc-boundary breaks, per-batch (span_len, n_spans)
+    partials combine exactly.  SQL oracle: the same cov CTE + the
+    gaps-and-islands window trick."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = num_buckets or derive_buckets(ds)
+    K = k_words
+
+    def p1(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "h": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32"),
+            }
+        )
+        sh, doc = _span_shingles(batch, K)
+        if sh is None:
+            return empty
+        h = hash64(sh).view(np.int64)
+        df = pd.DataFrame({"h": h, "doc_id": doc}).drop_duplicates()
+        df["bucket"] = (
+            df["h"].to_numpy().view(np.uint64) % np.uint64(B)
+        ).astype(np.int32)
+        return df
+
+    def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "nunique")
+        )
+        return s.loc[s["n_docs"] >= min_docs, ["h"]]
+
+    dup = (
+        ds.map_batches(p1, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    dup_sorted = (
+        np.sort(dup["h"].to_numpy(dtype=np.int64))
+        if len(dup)
+        else np.zeros(0, dtype=np.int64)
+    )
+    dref = ray.put(dup_sorted)
+
+    def p2(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "span_len": pd.Series([], dtype="int64"),
+                "n_spans": pd.Series([], dtype="int64"),
+            }
+        )
+        view = _span_token_view(batch, K)
+        if view is None:
+            return empty
+        _fbatch, flat, offs, sh, starts = view
+        dup_h = ray.get(dref)
+        if sh is None or not len(dup_h):
+            return empty
+        h = hash64(sh).view(np.int64)
+        pos = np.searchsorted(dup_h, h)
+        pos = np.minimum(pos, len(dup_h) - 1)
+        ms = starts[np.asarray(dup_h[pos] == h)]
+        if ms.size == 0:
+            return empty
+        cov = np.zeros(len(flat), dtype=bool)
+        for j in range(K):
+            cov[ms + j] = True
+        covi = np.flatnonzero(cov)
+        docidx = np.searchsorted(offs, covi, side="right") - 1
+        newrun = np.ones(covi.size, dtype=bool)
+        newrun[1:] = (np.diff(covi) != 1) | (docidx[1:] != docidx[:-1])
+        lengths = np.diff(np.append(np.flatnonzero(newrun), covi.size))
+        u, c = np.unique(lengths, return_counts=True)
+        return pd.DataFrame(
+            {"span_len": u.astype(np.int64), "n_spans": c.astype(np.int64)}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby("span_len", as_index=False).agg(n_spans=("n_spans", "sum"))
+
+    out = two_phase(ds, p2, final, batch_size=None).to_pandas()
+    if out.empty or "span_len" not in out.columns:
+        return pd.DataFrame(
+            {
+                "span_len": pd.Series([], dtype="int64"),
+                "n_spans": pd.Series([], dtype="int64"),
+            }
+        )
+    out["span_len"] = out["span_len"].astype("int64")
+    out["n_spans"] = out["n_spans"].astype("int64")
+    return out.sort_values("span_len").reset_index(drop=True)
+
+
+DUP_SPAN_LENGTH_HIST_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS s
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, i, array_to_string(s[i:i+4], ' ') AS shingle
+  FROM d, unnest(generate_series(1, len(s)-4)) AS t(i)
+  WHERE len(s) >= 5
+), dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT m.doc_id, u.p
+  FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (shingle)) m,
+       unnest(generate_series(m.i, m.i+4)) AS u(p)
+), runs AS (
+  SELECT doc_id,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+), spans AS (
+  SELECT CAST(count(*) AS BIGINT) AS span_len FROM runs GROUP BY doc_id, grp
+)
+SELECT span_len, CAST(count(*) AS BIGINT) AS n_spans
+FROM spans GROUP BY span_len ORDER BY span_len
+"""
 
 
 SPAN_REMOVAL_SQL = r"""
@@ -7916,6 +8142,8 @@ EXACT_QUERIES = {
     "token_balanced_shards": (token_balanced_shards, TOKEN_BALANCED_SHARDS_SQL),
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
+    "chi2_lang_source": (chi2_lang_source, CHI2_LANG_SOURCE_SQL),
+    "dup_span_length_hist": (dup_span_length_hist, DUP_SPAN_LENGTH_HIST_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

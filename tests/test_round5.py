@@ -1226,3 +1226,81 @@ def test_pmi_bucket_invariance(ray_session, tmp_path):
     a = pmi_collocations(sf, k=8, num_buckets=2)
     b = pmi_collocations(sf, k=8, num_buckets=7)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# chi-square composition audit + maximal dup-span length profile (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independent_composition_near_zero(ray_session, tmp_path):
+    """A perfectly independent lang x source table has chi2 = 0 exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import chi2_lang_source
+
+    rows = []
+    i = 0
+    for s in ("s0", "s1"):
+        for lang, mult in (("en", 6), ("de", 3)):
+            for _ in range(mult * (2 if s == "s1" else 1)):
+                rows.append((i, lang, s))
+                i += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = chi2_lang_source(str(tmp_path))
+    assert float(out["chi2"][0]) == 0.0
+    assert int(out["dof"][0]) == 1
+    assert float(out["cramers_v"][0]) == 0.0
+
+
+def test_chi2_skewed_composition_positive(ray_session, tmp_path):
+    """Sources with disjoint languages -> maximal association:
+    Cramer's V = 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import chi2_lang_source
+
+    n = 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en"] * 20 + ["de"] * 20),
+            "source": pa.array(["s0"] * 20 + ["s1"] * 20),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = chi2_lang_source(str(tmp_path))
+    assert abs(float(out["cramers_v"][0]) - 1.0) < 1e-9
+    assert float(out["chi2"][0]) == float(n)
+
+
+def test_dup_span_length_hist_merges_adjacent_shingles(ray_session, tmp_path):
+    """A 7-token span shared by two docs produces 3 overlapping dup
+    5-shingles that must merge into ONE maximal 7-token run per doc (2
+    spans of length 7), not 6 runs of length 5."""
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import dup_span_length_hist
+
+    span = "a1 a2 a3 a4 a5 a6 a7"
+    texts = [
+        f"left filler {span} right filler",
+        f"other prefix {span} tail bits",
+        "unrelated words entirely here now",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = dup_span_length_hist(sf)
+    assert out["span_len"].tolist() == [7]
+    assert out["n_spans"].tolist() == [2]
+    # bucket invariance
+    out2 = dup_span_length_hist(sf, num_buckets=5)
+    pd.testing.assert_frame_equal(out, out2)

@@ -148,6 +148,7 @@ QUERY_NAMES = [
     "pmi_collocations",
     "chi2_lang_source",
     "dup_span_length_hist",
+    "trimmed_mean_nchars_by_lang",
 ]
 
 

@@ -1565,6 +1565,83 @@ SELECT rn, bigram, cnt FROM (
 """
 
 
+def trimmed_mean_nchars_by_lang(sf_dir: str, trim: float = 0.05):
+    """EXACT per-lang TRIMMED MEAN of n_chars (drop the lowest and highest
+    ⌊trim·n⌋ observations, average the rest) — the robust location
+    statistic quality dashboards prefer when outliers corrupt the mean
+    (the moment-based cousin of `mad_nchars_by_lang`).
+
+    One distributed (lang, value)-counts histogram (the same partial shape
+    as every exact-quantile query); the trimmed window is then pure
+    integer arithmetic over each lang's sorted histogram: per value-bucket
+    contribution = clip(cum, k, n−k) − clip(cum_prev, k, n−k), summed as
+    exact ints, ONE float division at the end — order-independent and
+    byte-stable vs the oracle's row_number window form."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "v": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby(["lang", "v"], sort=False, as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "v"], as_index=False).agg(c=("c", "sum"))
+        rows = []
+        for lang, grp in g.groupby("lang"):
+            grp = grp.sort_values("v")
+            c = grp["c"].to_numpy(np.int64)
+            v = grp["v"].to_numpy(np.int64)
+            n = int(c.sum())
+            k = int(trim * n)
+            cum = np.cumsum(c)
+            hi = np.clip(cum, k, n - k)
+            lo = np.clip(cum - c, k, n - k)
+            w = hi - lo
+            total = int((v.astype(object) * w.astype(object)).sum())
+            kept = n - 2 * k
+            rows.append(
+                {
+                    "lang": lang,
+                    "n": n,
+                    "n_trimmed_each_side": k,
+                    "trimmed_mean": duckdb_round_double(total / kept, 4),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        out["n_trimmed_each_side"] = out["n_trimmed_each_side"].astype("int64")
+        return out
+
+    return two_phase(ds, partial, final).to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(any_value(n) AS BIGINT) AS n,
+       CAST(floor(0.05 * any_value(n)) AS BIGINT) AS n_trimmed_each_side,
+       round(sum(n_chars) FILTER (WHERE rn > floor(0.05 * n)
+                                    AND rn <= n - floor(0.05 * n))
+             * 1.0 /
+             (any_value(n) - 2 * floor(0.05 * any_value(n))), 4)
+         AS trimmed_mean
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 def chi2_lang_source(sf_dir: str):
     """CHI-SQUARE INDEPENDENCE audit of corpus composition (lang ×
     source): the classic contingency test a mixture monitor runs to ask
@@ -8144,6 +8221,7 @@ EXACT_QUERIES = {
     "pmi_collocations": (pmi_collocations, PMI_COLLOCATIONS_SQL),
     "chi2_lang_source": (chi2_lang_source, CHI2_LANG_SOURCE_SQL),
     "dup_span_length_hist": (dup_span_length_hist, DUP_SPAN_LENGTH_HIST_SQL),
+    "trimmed_mean_nchars_by_lang": (trimmed_mean_nchars_by_lang, TRIMMED_MEAN_SQL),
     "curation_v2_stats": (curation_v2_stats, CURATION_V2_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SQL),
     "epoch_ingest_order": (epoch_ingest_order, EPOCH_INGEST_ORDER_SQL),

@@ -1304,3 +1304,34 @@ def test_dup_span_length_hist_merges_adjacent_shingles(ray_session, tmp_path):
     # bucket invariance
     out2 = dup_span_length_hist(sf, num_buckets=5)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_trimmed_mean_vs_numpy_reference(ray_session, tmp_path):
+    """Histogram-window arithmetic equals the sort-and-slice definition on
+    a corpus with heavy outliers and ties across blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import trimmed_mean_nchars_by_lang
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    vals = np.concatenate(
+        [rng.integers(100, 200, 90), [1, 2, 100000, 200000]]  # 94 rows, outliers
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals)), pa.int64()),
+            "lang": pa.array(["en"] * len(vals)),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = trimmed_mean_nchars_by_lang(str(tmp_path))
+    n = len(vals)
+    k = int(0.05 * n)  # floor, matching both engine and oracle
+    ref = np.sort(vals)[k : n - k].mean()
+    assert int(out["n_trimmed_each_side"][0]) == k == 4
+    assert abs(float(out["trimmed_mean"][0]) - round(ref, 4)) < 1e-9
+    # outliers excised: trimmed mean sits in the bulk range
+    assert 100 <= float(out["trimmed_mean"][0]) <= 200

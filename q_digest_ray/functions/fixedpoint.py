@@ -59,6 +59,17 @@ def duckdb_round_double(x: float, n: int) -> float:
     return math.trunc(y + (0.5 if y >= 0 else -0.5)) / p
 
 
+def duckdb_round_double_vec(x, n: int):
+    """Vectorized ``duckdb_round_double`` over a numpy array (np.trunc is
+    bit-identical to math.trunc for doubles) — for per-row rounding in
+    batch stages, where a Python loop per row would be the hot path."""
+    import numpy as np
+
+    p = 10.0**n
+    y = np.asarray(x, dtype=np.float64) * p
+    return np.trunc(y + np.where(y >= 0, 0.5, -0.5)) / p
+
+
 def exact_sum(series) -> int:
     """Arbitrary-precision sum of an integer pandas Series (int64 partials
     re-summed over many blocks can exceed int64)."""

@@ -2906,10 +2906,12 @@ def bm25_topk(
         for i, t in enumerate(T):
             tf = np.bincount(tokdoc[flat == t], minlength=nd).astype(np.float64)
             score += idf[i] * tf * (k1 + 1.0) / (tf + norm)
+        from q_digest_ray.functions.fixedpoint import duckdb_round_double_vec
+
         df = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
-                "score": [duckdb_round_double(s, 4) for s in score],
+                "score": duckdb_round_double_vec(score, 4),
             }
         )
         df = df[df["score"] > 0]
@@ -4769,12 +4771,19 @@ def semdedup_prune(
         sims = m @ c.T
         a = np.argmax(sims, axis=1).astype(np.int64)
         best = sims[np.arange(len(a)), a].astype(np.float64)
+        # zero-copy list<float> column from the flattened matrix (no
+        # per-row Python list build)
+        d = m.shape[1]
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(a) + 1) * d, d, dtype=np.int32)),
+            pa.array(np.ascontiguousarray(m, dtype=np.float32).ravel()),
+        )
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
                 "cluster": pa.array(a),
                 "cos_c": pa.array(best),
-                "vec": pa.array(list(m.astype(np.float32))),
+                "vec": vec,
             }
         )
 

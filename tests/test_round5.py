@@ -1335,3 +1335,18 @@ def test_trimmed_mean_vs_numpy_reference(ray_session, tmp_path):
     assert abs(float(out["trimmed_mean"][0]) - round(ref, 4)) < 1e-9
     # outliers excised: trimmed mean sits in the bulk range
     assert 100 <= float(out["trimmed_mean"][0]) <= 200
+
+
+def test_round_vec_matches_scalar():
+    import numpy as np
+
+    from q_digest_ray.functions.fixedpoint import (
+        duckdb_round_double,
+        duckdb_round_double_vec,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    xs = np.concatenate([rng.normal(0, 100, 1000), [2.675, -2.675, 0.00005, -0.00005, 0.0]])
+    v = duckdb_round_double_vec(xs, 4)
+    for x, got in zip(xs, v):
+        assert got == duckdb_round_double(float(x), 4)

@@ -2442,7 +2442,10 @@ ORDER BY t.doc_id
 
 
 def ngram_contamination(
-    sf_dir: str, k_words: int = 5, num_buckets: int | None = None
+    sf_dir: str,
+    k_words: int = 5,
+    num_buckets: int | None = None,
+    pair_gate: int = 5_000_000,
 ):
     """TRAIN→EVAL N-GRAM CONTAMINATION audit (the GPT-3 appendix-C /
     PaLM decontamination shape): an eval-split (val/test) doc is
@@ -2521,18 +2524,33 @@ def ngram_contamination(
         c["n"] = c["n"].astype(np.int64)
         return c[["split", "n"]]
 
-    hits = (
+    hit_pairs = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(per_shingle_bucket, batch_format="pandas")
-        .groupby("doc_bucket")
-        .map_groups(per_doc_bucket, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
+    # the hit-pair table is usually tiny (≤ contaminated eval docs × buckets
+    # touched); below the gate dedup driver-side and skip the second
+    # exchange's ~1 s fixed sort cost — the same limit(N+1) gate pattern as
+    # shipping_priority's broadcast semi, with the bucketed path as the
+    # at-scale fallback
+    probe = hit_pairs.limit(pair_gate + 1).to_pandas()
     contam = {1: 0, 2: 0}
-    if len(hits):
-        for s, n in hits.groupby("split")["n"].sum().items():
-            contam[int(s)] = int(n)
+    if len(probe) <= pair_gate:
+        if len(probe):
+            u = probe.drop_duplicates(["doc_id", "split"])
+            for s, n in u.groupby("split")["doc_id"].size().items():
+                contam[int(s)] = int(n)
+    else:
+        hits = (
+            hit_pairs.groupby("doc_bucket")
+            .map_groups(per_doc_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(hits):
+            for s, n in hits.groupby("split")["n"].sum().items():
+                contam[int(s)] = int(n)
 
     # totals: per-split doc counts, doc_id column only
     dids = read_table(sf_dir, "documents", columns=["doc_id"])

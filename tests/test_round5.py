@@ -1350,3 +1350,23 @@ def test_round_vec_matches_scalar():
     v = duckdb_round_double_vec(xs, 4)
     for x, got in zip(xs, v):
         assert got == duckdb_round_double(float(x), 4)
+
+
+def test_ngram_contamination_fallback_parity(ray_session, tmp_path):
+    """pair_gate=0 forces the bucketed distinct-census fallback; output must
+    equal the driver-side gate path exactly."""
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import ngram_contamination
+
+    span = "one two three four five"
+    texts = [f"doc {i} filler words distinct token{i} stream" for i in range(30)]
+    texts[0] = f"train carrier {span} end"
+    texts[2] = f"val hit {span} tail"
+    texts[14] = f"test hit {span} also"
+    sf = _write_docs(tmp_path, texts)
+    a = ngram_contamination(sf)
+    b = ngram_contamination(sf, pair_gate=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a[a["split"] == "val"]["n_contaminated"].iloc[0]) == 1
+    assert int(a[a["split"] == "test"]["n_contaminated"].iloc[0]) == 1

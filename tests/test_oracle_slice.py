@@ -93,3 +93,22 @@ def test_qdigest_rejects_oversized_universe():
     q = QDigest(k=8, universe_bits=8)
     with pytest.raises(ValueError, match="2\\*\\*48"):
         q.update_batch(np.array([1 << 50]))
+
+
+def test_every_oracle_sql_binds():
+    """EXPLAIN-plan every EXACT_QUERIES oracle against sf0.001 views —
+    catches SQL typos/bad identifiers in seconds without executing the
+    full catalog (the live gate is tools/check_oracles.py)."""
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    sqls = entrymod.oracle_sql()
+    assert len(sqls) >= 86
+    for name, sql in sqls.items():
+        try:
+            duck.sql("EXPLAIN " + sql)
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"oracle SQL for {name!r} fails to bind: {exc}")

@@ -149,6 +149,7 @@ QUERY_NAMES = [
     "chi2_lang_source",
     "dup_span_length_hist",
     "trimmed_mean_nchars_by_lang",
+    "sk_dedup_preview",
 ]
 
 

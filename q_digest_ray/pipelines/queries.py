@@ -7590,6 +7590,33 @@ def sk_csk_join_size(sf_dir: str):
     )
 
 
+def sk_dedup_preview(sf_dir: str, k: int = 4096):
+    """DEDUP-RATE PREFLIGHT: estimate the exact-dedup payoff WITHOUT the
+    input-sized key exchange — one map-only KMV pass over documents.text
+    gives distinct_est, and est_dup_rate = 1 − distinct/n is what a
+    planner consults before deciding whether a 100-TB corpus is worth the
+    dedup shuffle at all (the third planner preflight beside sk_skew_f2's
+    salt-or-not and sk_join_size_estimate's broadcast-or-shuffle).
+    Rows-only: the estimate's 3σ band (KMV rel std error 1/√(k−2)) is
+    asserted against exact distinct counts in tests."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    sk = collect_sketches(
+        merge_grouped(build_sketches(ds, [SketchSpec("t", "text", "kmv", {"k": k})]))
+    )[("t", "")]
+    n = int(sk.n)
+    est = float(sk.estimate())
+    return pd.DataFrame(
+        {
+            "n_docs": [n],
+            "distinct_est": [int(round(est))],
+            "est_dup_rate": [duckdb_round_double(max(0.0, 1.0 - est / n), 4)],
+            "rel_std_error": [duckdb_round_double(1.0 / np.sqrt(k - 2), 4)],
+        }
+    )
+
+
 def sk_hll_users_by_type(sf_dir: str):
     """GROUPED HLL: one distinct-users sketch per event type, merged
     through the same grouped sketch-row shuffle as every grouped build
@@ -8333,6 +8360,7 @@ SKETCH_QUERIES = {
     "sk_join_size_estimate": sk_join_size_estimate,
     "sk_skew_f2": sk_skew_f2,
     "sk_csk_join_size": sk_csk_join_size,
+    "sk_dedup_preview": sk_dedup_preview,
     "weighted_sample_docs": weighted_sample_docs,
     "sk_drift_monitor": sk_drift_monitor,
     "compression_ratio_stats": compression_ratio_stats,

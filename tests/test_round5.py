@@ -1370,3 +1370,20 @@ def test_ngram_contamination_fallback_parity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     assert int(a[a["split"] == "val"]["n_contaminated"].iloc[0]) == 1
     assert int(a[a["split"] == "test"]["n_contaminated"].iloc[0]) == 1
+
+
+def test_sk_dedup_preview_band(ray_session, tmp_path):
+    """KMV dup-rate preflight lands within its 3-sigma band on a corpus
+    with a planted 60% dup rate (1000 docs, 400 distinct texts)."""
+    import numpy as np
+
+    from q_digest_ray.pipelines.queries import sk_dedup_preview
+
+    texts = [f"distinct body text number {i % 400} with padding" for i in range(1000)]
+    sf = _write_docs(tmp_path, texts)
+    out = sk_dedup_preview(sf, k=1024)
+    assert int(out["n_docs"][0]) == 1000
+    est = int(out["distinct_est"][0])
+    band = 3 * 400 / np.sqrt(1024 - 2)
+    assert abs(est - 400) <= band
+    assert abs(float(out["est_dup_rate"][0]) - 0.6) <= band / 1000 + 1e-9

@@ -1612,7 +1612,9 @@ def trimmed_mean_nchars_by_lang(sf_dir: str, trim: float = 0.05):
                     "lang": lang,
                     "n": n,
                     "n_trimmed_each_side": k,
-                    "trimmed_mean": duckdb_round_double(total / kept, 4),
+                    # float(total) FIRST (exact sum -> double), then divide — the
+                    # same op order as the oracle's sum*1.0/kept
+                    "trimmed_mean": duckdb_round_double(float(total) / kept, 4),
                 }
             )
         out = pd.DataFrame(rows)
@@ -2203,7 +2205,7 @@ def span_removal_dedup(
         return s.loc[s["n_docs"] >= min_docs, ["h"]]
 
     dup = (
-        ds.map_batches(p1, batch_format="pyarrow")
+        ds.map_batches(p1, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(dup_bucket, batch_format="pandas")
         .to_pandas()
@@ -2322,7 +2324,7 @@ def dup_span_length_hist(
         return s.loc[s["n_docs"] >= min_docs, ["h"]]
 
     dup = (
-        ds.map_batches(p1, batch_format="pyarrow")
+        ds.map_batches(p1, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
         .map_groups(dup_bucket, batch_format="pandas")
         .to_pandas()
@@ -2576,15 +2578,16 @@ def ngram_contamination(
     rows = [
         {
             "split": names[s],
-            "n_docs": tot.get(s, 0),
+            "n_docs": tot[s],
             "n_contaminated": contam[s],
             "contamination_pct": duckdb_round_double(
                 contam[s] * 100.0 / tot[s], 4
-            )
-            if tot.get(s)
-            else 0.0,
+            ),
         }
+        # only splits PRESENT in the data — the oracle's totals CTE derives
+        # rows from the rows themselves, so an empty split yields no row
         for s in (2, 1)  # 'test' < 'val' lexicographically
+        if tot.get(s)
     ]
     return pd.DataFrame(rows)
 
@@ -2879,6 +2882,7 @@ def bm25_topk(
     T = list(terms)
 
     def _tokens(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch["text"]))
         trimmed = pc.replace_substring_regex(batch["text"], r"^\s+|\s+$", "")
         toks = pc.split_pattern_regex(trimmed, r"\s+")
         if isinstance(toks, pa.ChunkedArray):
@@ -2889,10 +2893,10 @@ def bm25_topk(
         # "" splits to [''] — count empty docs as 0 tokens like the oracle
         empty = np.asarray(pc.equal(trimmed, "").fill_null(True))
         lens = np.where(empty, 0, lens)
-        return flat, offs, lens
+        return batch, flat, offs, lens
 
     def stat_partial(batch: pa.Table) -> pd.DataFrame:
-        flat, offs, lens = _tokens(batch)
+        batch, flat, offs, lens = _tokens(batch)
         nd = batch.num_rows
         tokdoc = np.repeat(np.arange(nd), np.diff(offs))
         row = {"n": np.int64(nd), "sumlen": lens.sum().astype(np.int64)}
@@ -2915,7 +2919,7 @@ def bm25_topk(
     )
 
     def score_partial(batch: pa.Table) -> pd.DataFrame:
-        flat, offs, lens = _tokens(batch)
+        batch, flat, offs, lens = _tokens(batch)
         nd = batch.num_rows
         tokdoc = np.repeat(np.arange(nd), np.diff(offs))
         dl = lens.astype(np.float64)
@@ -2949,7 +2953,7 @@ BM25_TOPK_SQL = r"""
 WITH d AS (
   SELECT doc_id, string_split_regex(
            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS s
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), dl AS (
   SELECT doc_id, CASE WHEN len(s) = 1 AND s[1] = '' THEN 0 ELSE len(s) END AS dl
   FROM d
@@ -7572,7 +7576,9 @@ def sk_csk_join_size(sf_dir: str):
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["user_id", "event_type"], as_index=False).agg(c=("c", "sum"))
-        piv = g.pivot_table(index="user_id", columns="event_type", values="c", fill_value=0)
+        # unstack keeps int64 exactly — pivot_table's default aggfunc='mean'
+        # would coerce to float64 BEFORE the object-int guard below
+        piv = g.set_index(["user_id", "event_type"])["c"].unstack(fill_value=0)
         fv = piv.get("view", pd.Series(dtype=np.int64)).to_numpy()
         fp = piv.get("purchase", pd.Series(dtype=np.int64)).to_numpy()
         exact = int((fv.astype(object) * fp.astype(object)).sum())

@@ -52,8 +52,13 @@ def read_jsonl(
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
 ):
-    """JSONL (newline-delimited objects, optionally ``.gz``) → Dataset."""
-    paths = resolve_shards(path, (".jsonl", ".jsonl.gz", ".json", ".json.gz"))
+    """JSONL (newline-delimited objects, optionally ``.gz``) → Dataset.
+
+    Only ``.jsonl``/``.jsonl.gz`` shards resolve: a conventional ``.json``
+    file usually holds one top-level ARRAY, which the line-delimited
+    reader would reject with an opaque mid-read Arrow error — better to
+    refuse the extension up front."""
+    paths = resolve_shards(path, (".jsonl", ".jsonl.gz"))
     ds = ray.data.read_json(
         paths,
         override_num_blocks=override_num_blocks or _derive_blocks(paths, 2 << 20),

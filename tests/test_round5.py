@@ -1387,3 +1387,41 @@ def test_sk_dedup_preview_band(ray_session, tmp_path):
     band = 3 * 400 / np.sqrt(1024 - 2)
     assert abs(est - 400) <= band
     assert abs(float(out["est_dup_rate"][0]) - 0.6) <= band / 1000 + 1e-9
+
+
+def test_bm25_null_text_oracle_parity(ray_session, tmp_path):
+    """NULL-text rows must be excluded from N and avgdl on BOTH sides
+    (regression: Ray counted them as length-0 docs while the oracle's
+    avg(dl) skipped them — scores diverged on any corpus with NULLs)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import BM25_TOPK_SQL, bm25_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = ["hash", "join", "scan", "a", "b", "c"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 20)))) for _ in range(40)
+    ]
+    texts[3] = None
+    texts[17] = None
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    ours = bm25_topk(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    theirs = con.sql(BM25_TOPK_SQL).df()
+    pd.testing.assert_frame_equal(
+        ours, theirs.astype({"rn": "int64", "doc_id": "int64"})
+    )

@@ -111,7 +111,9 @@ def main() -> int:
         from q_digest_ray.sources.textio import read_jsonl, to_parquet_table
 
         shard_dir = os.path.join(args.output, "converted")
-        ds = read_jsonl(args.input)
+        # materialize once: count()/schema() on the lazy Dataset would
+        # re-execute the whole gzip JSONL parse per call
+        ds = read_jsonl(args.input).materialize()
         to_parquet_table(ds, shard_dir)
         result = pd.DataFrame(
             {

@@ -150,6 +150,7 @@ QUERY_NAMES = [
     "dup_span_length_hist",
     "trimmed_mean_nchars_by_lang",
     "sk_dedup_preview",
+    "dup_group_size_hist",
 ]
 
 

@@ -185,6 +185,66 @@ def lang_counts(sf_dir: str):
 LANG_COUNTS_SQL = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang"
 
 
+def dup_group_size_hist(sf_dir: str, num_buckets: int | None = None):
+    """EXACT duplicate-cluster SIZE DISTRIBUTION (the first table of every
+    dedup report: how many texts are singletons, pairs, big clusters): per
+    distinct text its occurrence count, histogrammed by count.
+
+    Same 24 B/doc content-key exchange as dedup_exact — per batch a
+    (key, count) partial, key-hash buckets co-locate equal keys, each
+    bucket sums per-key counts and emits its (size, n_groups) histogram
+    rows; the final combine sums ≤ B × distinct-sizes tiny rows.  Texts
+    never ship; 128-bit collision stance as distinct_text_count."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from q_digest_ray.functions.hashing import content_key128
+
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        h1, h2, bucket = content_key128(batch["text"], B)
+        df = pd.DataFrame({"h": h1, "h2": h2, "bucket": bucket})
+        g = df.groupby(["h", "h2", "bucket"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "h": pa.array(g["h"].to_numpy(np.int64)),
+                "h2": pa.array(g["h2"].to_numpy(np.int64)),
+                "bucket": pa.array(g["bucket"].to_numpy(np.int32)),
+                "c": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["h", "h2"], sort=False)["c"].sum()
+        vc = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "group_size": vc.index.to_numpy(np.int64),
+                "n_groups": vc.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("group_size", as_index=False).agg(n_groups=("n_groups", "sum"))
+    out["group_size"] = out["group_size"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out.sort_values("group_size").reset_index(drop=True)
+
+
+DUP_GROUP_SIZE_HIST_SQL = """
+SELECT CAST(cnt AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM (SELECT count(*) AS cnt FROM documents WHERE text IS NOT NULL
+      GROUP BY text)
+GROUP BY cnt ORDER BY group_size
+"""
+
+
 def distinct_text_count(sf_dir: str, num_buckets: int | None = None):
     """Distinct count via 128-bit content key (the HLL oracle).
 
@@ -8242,6 +8302,7 @@ EXACT_QUERIES = {
     "lang_counts": (lang_counts, LANG_COUNTS_SQL),
     "distinct_text_count": (distinct_text_count, DISTINCT_TEXT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dup_group_size_hist": (dup_group_size_hist, DUP_GROUP_SIZE_HIST_SQL),
     "exact_quantiles_nchars": (exact_quantiles_nchars, EXACT_QUANTILES_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "top_users": (top_users, TOP_USERS_SQL),

@@ -1425,3 +1425,34 @@ def test_bm25_null_text_oracle_parity(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         ours, theirs.astype({"rn": "int64", "doc_id": "int64"})
     )
+
+
+def test_dup_group_size_hist_planted(ray_session, tmp_path):
+    """12 docs: one text x5, one x3, four singletons -> hist {1:4, 3:1, 5:1};
+    bucket-invariant and total-conserving."""
+    import duckdb
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import (
+        DUP_GROUP_SIZE_HIST_SQL,
+        dup_group_size_hist,
+    )
+
+    texts = ["five times text"] * 5 + ["three times text"] * 3 + [
+        f"single {i}" for i in range(4)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = dup_group_size_hist(sf)
+    assert out.set_index("group_size")["n_groups"].to_dict() == {1: 4, 3: 1, 5: 1}
+    assert int((out["group_size"] * out["n_groups"]).sum()) == len(texts)
+    out2 = dup_group_size_hist(sf, num_buckets=7)
+    pd.testing.assert_frame_equal(out, out2)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    theirs = con.sql(DUP_GROUP_SIZE_HIST_SQL).df()
+    pd.testing.assert_frame_equal(
+        out, theirs.astype({"group_size": "int64", "n_groups": "int64"})
+    )

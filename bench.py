@@ -151,6 +151,7 @@ QUERY_NAMES = [
     "trimmed_mean_nchars_by_lang",
     "sk_dedup_preview",
     "dup_group_size_hist",
+    "mixture_resample",
 ]
 
 

@@ -4403,6 +4403,75 @@ def mixture_weights(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def mixture_resample(sf_dir: str):
+    """EXECUTE the mixture_weights plan: deterministic per-lang downsample
+    toward the uniform target (scarcest lang keeps everything) — doc keeps
+    iff hash-key(doc_id)·n_lang < n_min·P, the EXACT integer form of
+    Bernoulli(rate = n_min/n_lang) under the same SQL-replicable
+    multiplicative hash the split/stratified ops use.  No floats anywhere
+    in the keep decision (the threshold ⌊(n_min·P−1)/n_lang⌋+1 is computed
+    in Python ints, the oracle compares the HUGEINT product), so the kept
+    SET is reproducible on any partitioning and identical on both sides.
+
+    Two thin passes: the per-lang count (tiny two-phase) fixes the
+    thresholds, then one map pass counts survivors per lang — the executed
+    complement of mixture_weights' plan (rates there = n_min/n_lang too)."""
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+
+    def cpartial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas()})
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("lang", "size")
+        )
+
+    def cfinal(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n_docs=("n_docs", "sum"))
+
+    counts = two_phase(ds, cpartial, cfinal).to_pandas()
+    P = 1000000007
+    mn = int(counts["n_docs"].min())
+    thr = {
+        lang: (mn * P - 1) // int(n) + 1  # key < thr  ⟺  key·n < mn·P
+        for lang, n in zip(counts["lang"], counts["n_docs"])
+    }
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def kpartial(batch: pa.Table) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = ((did % 1000003) * 2654435761) % P
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "key": key})
+        df["kept"] = (
+            df["key"].to_numpy() < df["lang"].map(thr).to_numpy(np.int64)
+        ).astype(np.int64)
+        return df.groupby("lang", sort=False, as_index=False).agg(
+            n_kept=("kept", "sum")
+        )
+
+    def kfinal(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(n_kept=("n_kept", "sum"))
+
+    kept = two_phase(docs, kpartial, kfinal).to_pandas()
+    out = counts.merge(kept, on="lang", how="left").fillna({"n_kept": 0})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS mn FROM c),
+k AS (SELECT d.lang, c.n_docs, m.mn,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS key
+      FROM documents d JOIN c USING (lang), m)
+SELECT lang, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE key * n_docs < mn * 1000000007) AS BIGINT)
+         AS n_kept
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 MIXTURE_WEIGHTS_SQL = """
 WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT lang, n_docs,
@@ -8332,6 +8401,7 @@ EXACT_QUERIES = {
     "sequence_pack_stats": (sequence_pack_stats, SEQUENCE_PACK_SQL),
     "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
+    "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),

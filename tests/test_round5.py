@@ -1456,3 +1456,37 @@ def test_dup_group_size_hist_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out, theirs.astype({"group_size": "int64", "n_groups": "int64"})
     )
+
+
+def test_mixture_resample_exact_integer_thresholds(ray_session, tmp_path):
+    """Scarcest lang keeps EVERY doc (rate 1.0); downsampled langs match
+    the oracle's HUGEINT product comparison exactly; kept counts land
+    within 4 sigma of n_min under the hash's uniformity."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from q_digest_ray.pipelines.queries import (
+        MIXTURE_RESAMPLE_SQL,
+        mixture_resample,
+    )
+
+    langs = ["en"] * 300 + ["de"] * 50 + ["fr"] * 120
+    texts = [f"doc {i}" for i in range(len(langs))]
+    sf = _write_docs_lang(tmp_path, texts, langs)
+    out = mixture_resample(sf)
+    r = out.set_index("lang")
+    assert int(r.loc["de", "n_kept"]) == 50  # scarcest keeps all
+    for lang in ("en", "fr"):
+        n, kept = int(r.loc[lang, "n_docs"]), int(r.loc[lang, "n_kept"])
+        p = 50 / n
+        assert abs(kept - 50) <= 4 * np.sqrt(n * p * (1 - p)) + 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf, 'documents.parquet')}'"
+    )
+    theirs = con.sql(MIXTURE_RESAMPLE_SQL).df()
+    pd.testing.assert_frame_equal(
+        out, theirs.astype({"n_docs": "int64", "n_kept": "int64"})
+    )

@@ -4441,6 +4441,9 @@ def mixture_resample(sf_dir: str):
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         key = ((did % 1000003) * 2654435761) % P
         df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "key": key})
+        # NULL-lang rows: the oracle's JOIN ... USING (lang) drops them
+        # (NULL never equi-joins); match that instead of NaN-crashing map
+        df = df[df["lang"].notna()]
         df["kept"] = (
             df["key"].to_numpy() < df["lang"].map(thr).to_numpy(np.int64)
         ).astype(np.int64)

@@ -152,6 +152,7 @@ QUERY_NAMES = [
     "sk_dedup_preview",
     "dup_group_size_hist",
     "mixture_resample",
+    "cohort_retention",
 ]
 
 

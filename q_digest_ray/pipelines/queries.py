@@ -4403,6 +4403,93 @@ def mixture_weights(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def cohort_retention(sf_dir: str, num_buckets: int | None = None):
+    """COHORT RETENTION matrix (the classic product-analytics table, and a
+    data-pipeline freshness audit): users grouped by FIRST-active day,
+    counted at each day-offset they return — (cohort_day, day_offset,
+    n_users), exact.
+
+    One exchange: per-batch distinct (user, day) pairs (16 B rows) bucket
+    by user hash so each user's full day-set co-locates; per bucket the
+    cohort day is a segmented min over the user-sorted day array and every
+    (cohort, offset) pair counts exactly once per user (pairs dedup
+    in-bucket).  The final combine sums ≤ B × days² tiny rows.  Dates
+    emitted as strings (timestamp-parity rule)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    B = num_buckets or derive_buckets(ds)
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = (
+            pa.table({"user_id": pa.array(uid), "day": pa.array(day)})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "bucket": pa.array(
+                    (hash64(u) % np.uint64(B)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        cohort = np.repeat(
+            d[first], np.diff(np.append(np.flatnonzero(first), len(g)))
+        )
+        out = pd.DataFrame({"cohort": cohort, "off": d - cohort})
+        return out.groupby(["cohort", "off"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort", "off"], as_index=False).agg(n=("n", "sum"))
+    out["cohort_day"] = (
+        (out["cohort"].to_numpy(np.int64) * DAY_US)
+        .astype("datetime64[us]")
+        .astype("datetime64[D]")
+        .astype(str)
+    )
+    out["day_offset"] = out["off"].astype("int64")
+    out["n_users"] = out["n"].astype("int64")
+    return (
+        out[["cohort_day", "day_offset", "n_users"]]
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def mixture_resample(sf_dir: str):
     """EXECUTE the mixture_weights plan: deterministic per-lang downsample
     toward the uniform target (scarcest lang keeps everything) — doc keeps
@@ -8405,6 +8492,7 @@ EXACT_QUERIES = {
     "gopher_quality_flags": (gopher_quality_flags, GOPHER_FLAGS_SQL),
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),

@@ -1490,3 +1490,48 @@ def test_mixture_resample_exact_integer_thresholds(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out, theirs.astype({"n_docs": "int64", "n_kept": "int64"})
     )
+
+
+def test_cohort_retention_crafted(ray_session, tmp_path):
+    """Hand-built event log: user 1 active days 0,1,7; user 2 days 0,1;
+    user 3 day 1 only -> cohort day0 has {0:2, 1:2, 7:1}, cohort day1 has
+    {0:1}.  Multiple same-day events collapse (distinct user-day)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import cohort_retention
+
+    DAY = 86_400_000_000
+    rows = [  # (user, day, n_events_that_day)
+        (1, 0, 3), (1, 1, 1), (1, 7, 2),
+        (2, 0, 1), (2, 1, 1),
+        (3, 1, 4),
+    ]
+    uid, ts = [], []
+    for u, d, k in rows:
+        for j in range(k):
+            uid.append(u)
+            ts.append(d * DAY + j * 1000 + u)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(uid)), pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    out = cohort_retention(str(tmp_path))
+    got = {
+        (r["cohort_day"], int(r["day_offset"])): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        ("1970-01-01", 0): 2,
+        ("1970-01-01", 1): 2,
+        ("1970-01-01", 7): 1,
+        ("1970-01-02", 0): 1,
+    }
+    out2 = cohort_retention(str(tmp_path), num_buckets=5)
+    pd.testing.assert_frame_equal(out, out2)

@@ -153,6 +153,7 @@ QUERY_NAMES = [
     "dup_group_size_hist",
     "mixture_resample",
     "cohort_retention",
+    "active_users_daily",
 ]
 
 

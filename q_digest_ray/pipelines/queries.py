@@ -4475,6 +4475,113 @@ def cohort_retention(sf_dir: str, num_buckets: int | None = None):
     )
 
 
+def active_users_daily(sf_dir: str, num_buckets: int | None = None):
+    """DAU + rolling 7-day WAU + stickiness (DAU/WAU) per day — the
+    freshness dashboard of any event pipeline, exact.
+
+    Same one-exchange shape as cohort_retention: distinct (user, day)
+    16 B pairs bucket by user hash; each bucket emits, per user, the
+    (day, window_day) coverage pairs for the 7-day windows the user's
+    active days fall into (≤7 rows per active day, arithmetic expansion —
+    a user counts once per window even with daily activity because the
+    in-bucket pairs dedup); per-(window) distinct-user counts are then
+    exact sums.  DAU comes from the same pairs at offset 0."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    B = num_buckets or derive_buckets(ds)
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = (
+            pa.table({"user_id": pa.array(uid), "day": pa.array(day)})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "bucket": pa.array((hash64(u) % np.uint64(B)).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy(np.int64)
+        # DAU: one row per (user, day) already distinct
+        dau = pd.DataFrame({"day": d}).groupby("day").size()
+        # WAU: user counts toward window-ending-day w for w in [d, d+6];
+        # expand arithmetically then dedup (user, w) so a daily-active
+        # user still counts once per window
+        w = (d[:, None] + np.arange(7)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        wau_pairs = pd.DataFrame({"u": uu, "w": w}).drop_duplicates()
+        wau = wau_pairs.groupby("w").size()
+        out = pd.DataFrame(
+            {
+                "day": np.concatenate([dau.index.to_numpy(), wau.index.to_numpy()]),
+                "kind": np.concatenate(
+                    [np.zeros(len(dau), np.int8), np.ones(len(wau), np.int8)]
+                ),
+                "n": np.concatenate([dau.to_numpy(), wau.to_numpy()]).astype(np.int64),
+            }
+        )
+        return out
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["day", "kind"], as_index=False).agg(n=("n", "sum"))
+    dau = agg[agg["kind"] == 0].set_index("day")["n"]
+    wau = agg[agg["kind"] == 1].set_index("day")["n"]
+    # report only REAL days (the window expansion creates phantom trailing
+    # window-end days past the data's max day; the oracle's day list comes
+    # from the data)
+    days = np.sort(dau.index.to_numpy(np.int64))
+    rows = []
+    for day in days:
+        dn = int(dau.get(day, 0))
+        wn = int(wau.get(day, 0))
+        rows.append(
+            {
+                "day": str(
+                    np.int64(day * DAY_US).astype("datetime64[us]").astype("datetime64[D]")
+                ),
+                "dau": dn,
+                "wau7": wn,
+                "stickiness": duckdb_round_double(dn / wn, 4),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+ACTIVE_USERS_DAILY_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT days.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau7
+  FROM days JOIN ud
+    ON ud.day <= days.day AND ud.day >= days.day - INTERVAL 6 DAY
+  GROUP BY days.day
+)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau7,
+       round(d.dau * 1.0 / w.wau7, 4) AS stickiness
+FROM dau d JOIN wau w USING (day) ORDER BY d.day
+"""
+
+
 COHORT_RETENTION_SQL = """
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -8493,6 +8600,7 @@ EXACT_QUERIES = {
     "mixture_weights": (mixture_weights, MIXTURE_WEIGHTS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "active_users_daily": (active_users_daily, ACTIVE_USERS_DAILY_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),

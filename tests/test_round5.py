@@ -1535,3 +1535,40 @@ def test_cohort_retention_crafted(ray_session, tmp_path):
     }
     out2 = cohort_retention(str(tmp_path), num_buckets=5)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_active_users_daily_crafted(ray_session, tmp_path):
+    """Hand-built log: u1 active days 0,3; u2 day 0 only; u3 day 8.
+    DAU(0)=2, DAU(3)=1, DAU(8)=1; WAU7(3) counts u1 ONCE + u2 = 2
+    (window 0..3 spans both of u1's days); WAU7(8) = 2 — window [2, 8]
+    still reaches u1's day-3 activity, u2's day 0 aged out."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import active_users_daily
+
+    DAY = 86_400_000_000
+    rows = [(1, 0), (1, 0), (1, 3), (2, 0), (3, 8)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([d * DAY + u for u, d in rows], np.int64),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    out = active_users_daily(str(tmp_path))
+    got = {r["day"]: (int(r["dau"]), int(r["wau7"])) for _, r in out.iterrows()}
+    assert got == {
+        "1970-01-01": (2, 2),
+        "1970-01-04": (1, 2),
+        "1970-01-09": (1, 2),
+    }
+    assert abs(float(out[out["day"] == "1970-01-04"]["stickiness"].iloc[0]) - 0.5) < 1e-9
+    out2 = active_users_daily(str(tmp_path), num_buckets=5)
+    pd.testing.assert_frame_equal(out, out2)

@@ -154,6 +154,7 @@ QUERY_NAMES = [
     "mixture_resample",
     "cohort_retention",
     "active_users_daily",
+    "gini_user_activity",
 ]
 
 

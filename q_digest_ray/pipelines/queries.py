@@ -4564,6 +4564,92 @@ def active_users_daily(sf_dir: str, num_buckets: int | None = None):
     return pd.DataFrame(rows)
 
 
+def gini_user_activity(sf_dir: str, num_buckets: int | None = None):
+    """GINI COEFFICIENT of per-user event counts — the concentration audit
+    a curation pipeline runs to ask "is this corpus dominated by a few
+    heavy actors?" (0 = perfectly even, →1 = one user generated
+    everything).
+
+    Exact from grouped arithmetic: per-user totals co-locate in user-hash
+    buckets (one thin exchange), each bucket emits its
+    (events_per_user, n_users) histogram rows, and the driver evaluates
+    the tie-grouped closed form Σᵢ i·x₍ᵢ₎ = Σₖ vₖ·mₖ·(first+last)/2 over
+    the sorted value histogram in Python ints — no global sort, exact at
+    any scale; ONE float expression at the end mirrors the oracle's."""
+    from q_digest_ray.functions.fixedpoint import duckdb_round_double
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    B = num_buckets or derive_buckets(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["user_id"].value_counts()
+        u = vc.field("values")
+        return pa.table(
+            {
+                "user_id": u,
+                "c": vc.field("counts").cast(pa.int64()),
+                "bucket": pa.array(
+                    (
+                        hash64(u.to_numpy(zero_copy_only=False))
+                        % np.uint64(B)
+                    ).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("user_id")["c"].sum()
+        vc = tot.value_counts()
+        return pd.DataFrame(
+            {
+                "events_per_user": vc.index.to_numpy(np.int64),
+                "m": vc.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    h = (
+        hist.groupby("events_per_user", as_index=False)
+        .agg(m=("m", "sum"))
+        .sort_values("events_per_user")
+    )
+    n = int(h["m"].sum())
+    s = int((h["events_per_user"].astype(object) * h["m"].astype(object)).sum())
+    six = 0  # Σ i·x over the ascending order, exact
+    cum = 0
+    for v, m in zip(h["events_per_user"], h["m"]):
+        first, last = cum + 1, cum + int(m)
+        six += int(v) * (int(m) * (first + last)) // 2
+        cum = last
+    gini = 2.0 * six / (n * s) - (n + 1.0) / n
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "total_events": [np.int64(s)],
+            "gini": [duckdb_round_double(gini, 6)],
+        }
+    )
+
+
+GINI_USER_ACTIVITY_SQL = """
+WITH pc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             count(*) OVER () AS n, sum(c) OVER () AS s
+      FROM pc)
+SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+       CAST(any_value(s) AS BIGINT) AS total_events,
+       round(2.0 * sum(i * c) / (any_value(n) * any_value(s))
+             - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+FROM r
+"""
+
+
 ACTIVE_USERS_DAILY_SQL = """
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -8601,6 +8687,7 @@ EXACT_QUERIES = {
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "active_users_daily": (active_users_daily, ACTIVE_USERS_DAILY_SQL),
+    "gini_user_activity": (gini_user_activity, GINI_USER_ACTIVITY_SQL),
     "padding_waste_stats": (padding_waste_stats, PADDING_WASTE_SQL),
     "dup_spans_scalable": (dup_spans_scalable, DUP_SPANS_SQL),
     "span_removal_dedup": (span_removal_dedup, SPAN_REMOVAL_SQL),

@@ -1572,3 +1572,43 @@ def test_active_users_daily_crafted(ray_session, tmp_path):
     assert abs(float(out[out["day"] == "1970-01-04"]["stickiness"].iloc[0]) - 0.5) < 1e-9
     out2 = active_users_daily(str(tmp_path), num_buckets=5)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_gini_closed_forms(ray_session, tmp_path):
+    """Uniform counts -> Gini 0; one dominant user -> near the
+    (n-1)/n * dominant-share upper shape; exact vs a numpy sort-based
+    reference on a random histogram."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from q_digest_ray.pipelines.queries import gini_user_activity
+
+    def write_events(tmpdir, per_user_counts):
+        uid, i = [], 0
+        for u, k in enumerate(per_user_counts):
+            uid += [u] * int(k)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(uid)), pa.int64()),
+                "ts": pa.array(
+                    np.arange(len(uid), dtype=np.int64), pa.timestamp("us")
+                ),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+        return tmpdir
+
+    d1 = str(tmp_path / "uniform"); os.makedirs(d1)
+    out = gini_user_activity(write_events(d1, [5] * 20))
+    assert float(out["gini"][0]) == 0.0
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    counts = rng.integers(1, 50, size=40)
+    d2 = str(tmp_path / "rand"); os.makedirs(d2)
+    out = gini_user_activity(write_events(d2, counts))
+    x = np.sort(counts).astype(np.float64)
+    n = len(x)
+    ref = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert abs(float(out["gini"][0]) - round(ref, 6)) < 1e-9
